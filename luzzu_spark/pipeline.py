@@ -1,0 +1,120 @@
+"""The flagship quality-filter pipeline — Luzzu's assessment run, recast.
+
+Luzzu lifecycle (reconstructed, SURVEY.md §3.1): stream quads → fan out
+to registered metric folds → emit daQ metadata + QPRO problems + ranking.
+New lifecycle (one lazy DataFrame, Catalyst optimizes end-to-end):
+
+  scan → project(rule deps ∪ lineage) → token columns
+       → declarative scores (whole-stage codegen)
+       → plugin scores (two Arrow-batched pandas UDFs)
+       → verdict (drop_reasons / rule_scores / keep)
+       → scrub chain (regexp_replace, codegen)
+       → forks: filtered corpus, metrics aggregates, problem report
+
+Scale design (10^12 docs): the pre-UDF projection keeps Arrow traffic
+to the text column + keys; `salted_repartition` spreads skewed url-hosts
+before the UDF stage; outputs partition by lang and bucket by
+xxhash64(url). No collect() anywhere — every artifact is a DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from luzzu_spark.rules import spec
+from luzzu_spark.rules.heuristics import with_token_columns
+from luzzu_spark.rules.langid import with_langid
+from luzzu_spark.rules.perplexity import with_perplexity
+from luzzu_spark.rules.registry import RuleRegistry, default_registry
+from luzzu_spark.rules.scrub import with_scrub
+
+LINEAGE_COLS = ("url", "lang", "doc_id", "source", "warc_ts")
+
+
+def host_expr(url_col: str = "url") -> F.Column:
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None,
+                       salt_buckets: int = 16,
+                       url_col: str = "url") -> DataFrame:
+    """Spread skewed hosts: partition by (xxhash64(host), salt).
+
+    At web scale a handful of hosts dominate (BASELINE.json:6); hashing
+    host alone would send a mega-host to one task. The salt splits each
+    host across `salt_buckets` partitions while keeping co-locality good
+    enough for per-host stats (which re-aggregate anyway).
+    """
+    salt = F.pmod(F.xxhash64(url_col), F.lit(salt_buckets))
+    keys = [F.xxhash64(host_expr(url_col)), salt]
+    return (df.repartition(num_partitions, *keys) if num_partitions
+            else df.repartition(*keys))
+
+
+@dataclass
+class QualityPipeline:
+    """Build once, apply to any web-page DataFrame."""
+
+    registry: RuleRegistry = field(default_factory=default_registry)
+    scrub: bool = True
+    repartition_salted: bool = False  # enable for skewed prod inputs
+    num_partitions: int | None = None
+
+    def assess(self, pages: DataFrame) -> DataFrame:
+        """Full per-row assessment: scores, verdict, scrubbed text."""
+        deps = self.registry.deps()
+        keep_cols = [c for c in pages.columns
+                     if c in deps or c in LINEAGE_COLS]
+        df = pages.select(*keep_cols)
+        if self.repartition_salted and "url" in df.columns:
+            df = salted_repartition(df, self.num_partitions)
+        df = with_token_columns(df)
+        df = self.registry.with_scores(df)
+        df = with_langid(df)        # plugin rule → score_langid_conf
+        df = with_perplexity(df)    # plugin rule → score_perplexity
+        df = self.registry.with_verdict(df)
+        if self.scrub:
+            df = with_scrub(df)
+        return df.drop("tokens")
+
+    def filtered(self, pages: DataFrame) -> DataFrame:
+        """The kept, scrubbed corpus (the training-data output)."""
+        out = self.assess(pages).filter(F.col("keep"))
+        cols = [c for c in ("url", "warc_ts", "lang", "lang_pred",
+                            "doc_id", "source") if c in out.columns]
+        return out.select(*cols,
+                          F.col("text_scrubbed").alias("text"),
+                          "rule_scores")
+
+    def problem_report(self, assessed: DataFrame) -> DataFrame:
+        """QPRO recast (/root/reference/README.md:9): one row per
+        (document, fired rule) with the rule's score."""
+        key = "url" if "url" in assessed.columns else "doc_id"
+        return (assessed
+                .filter(F.size("drop_reasons") > 0)
+                .select(key, F.explode("drop_reasons").alias("rule"),
+                        "rule_scores")
+                .withColumn("score", F.col("rule_scores")[F.col("rule")])
+                .drop("rule_scores"))
+
+    def write_filtered(self, pages: DataFrame, path: str,
+                       lang_partitioned: bool = True) -> None:
+        """Corpus sink: partition by lang (partition pruning for
+        downstream per-language training reads); parquet here, Iceberg
+        `writeTo(...).append()` in catalog deployments."""
+        out = self.filtered(pages)
+        writer = out.write.mode("overwrite")
+        if lang_partitioned and "lang" in out.columns:
+            writer = writer.partitionBy("lang")
+        writer.parquet(path)
+
+
+def keep_expr_name() -> str:
+    return "keep"
+
+
+def rule_names() -> list[str]:
+    return list(spec.RULE_ORDER)

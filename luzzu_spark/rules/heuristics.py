@@ -1,0 +1,122 @@
+"""C4/Gopher-style heuristic rules as pure Catalyst expressions.
+
+Each rule is one vectorized expression over derived token columns —
+Luzzu's per-quad metric fold (/root/reference/README.md:7) recast so
+Catalyst whole-stage-codegens the whole batch: no Python in this path.
+
+Derived columns (attached once by :func:`with_token_columns`):
+  tokens:array<string>, n_tokens:int, n_chars:int
+
+ANSI-safe: every ratio uses try_divide (Spark 4 ANSI mode would raise on
+/0 for empty docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from luzzu_spark.rules import spec
+from luzzu_spark.rules.registry import Rule
+from luzzu_spark.rules.stopwords import STOPWORDS
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens_expr(text: Column | str = "text") -> Column:
+    # null-guard: a null doc behaves as the empty doc (SURVEY.md §2.2 —
+    # Luzzu reports malformed inputs instead of crashing); without this,
+    # null scores never fire any rule and a null doc would be KEPT.
+    c = F.col(text) if isinstance(text, str) else text
+    # array_remove drops the [""] that split() yields on an empty doc —
+    # keeps Spark's token list identical to Python's str.split() ([]).
+    return F.array_remove(
+        F.split(F.trim(F.coalesce(c, F.lit(""))), TOKEN_SPLIT_RE), "")
+
+
+def with_token_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach tokens/n_tokens/n_chars once; all rules read these."""
+    return df.withColumns({
+        "tokens": tokens_expr(text_col),
+        "n_chars": F.length(F.coalesce(F.col(text_col), F.lit(""))),
+    }).withColumn("n_tokens", F.size("tokens"))
+
+
+# -- per-rule score expressions (read the derived columns) -----------------
+
+def mean_word_len() -> Column:
+    total = F.aggregate("tokens", F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return F.try_divide(total.cast("double"), F.col("n_tokens"))
+
+
+def max_word_len() -> Column:
+    return F.coalesce(
+        F.array_max(F.transform("tokens", F.length)), F.lit(0))
+
+
+def symbol_ratio(text_col: str = "text") -> Column:
+    pat = "[" + spec.SYMBOL_CHARS + "]"
+    return F.try_divide(F.regexp_count(F.col(text_col), F.lit(pat)),
+                        F.col("n_tokens"))
+
+
+def stopword_frac() -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    return F.try_divide(hits, F.col("n_tokens"))
+
+
+def ngram_hashes(n: int = spec.NGRAM_N) -> Column:
+    """array<long> of xxhash64 over each n-token shingle (space-joined).
+
+    Empty array when the doc has fewer than n tokens. Used both for the
+    within-doc repetition score and (exploded) for corpus-level dedup.
+    """
+    toks = F.col("tokens")
+    return F.when(
+        F.col("n_tokens") >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def dup_ngram_frac() -> Column:
+    h = ngram_hashes()
+    return F.coalesce(
+        F.try_divide(F.size(h) - F.size(F.array_distinct(h)), F.size(h)),
+        F.lit(0.0))
+
+
+def heuristic_rules() -> list[Rule]:
+    s = spec
+    return [
+        Rule("min_chars", ("text",),
+             score=lambda: F.col("n_chars").cast("double"),
+             fires=lambda c: c < F.lit(s.MIN_DOC_CHARS),
+             description="C4 minimum document length"),
+        Rule("word_count", ("text",),
+             score=lambda: F.col("n_tokens").cast("double"),
+             fires=lambda c: (c < F.lit(s.MIN_WORDS))
+             | (c > F.lit(s.MAX_WORDS)),
+             description="Gopher word-count bounds"),
+        Rule("mean_word_len", ("text",), score=mean_word_len,
+             fires=lambda c: (c < F.lit(s.MEAN_WORD_LEN_LO))
+             | (c > F.lit(s.MEAN_WORD_LEN_HI)),
+             description="Gopher mean word length bounds"),
+        Rule("max_word_len", ("text",),
+             score=lambda: max_word_len().cast("double"),
+             fires=lambda c: c > F.lit(s.MAX_WORD_LEN),
+             description="longest-token bound"),
+        Rule("symbol_ratio", ("text",), score=symbol_ratio,
+             fires=lambda c: c > F.lit(s.MAX_SYMBOL_WORD_RATIO),
+             description="Gopher symbol-to-word ratio"),
+        Rule("stopword_frac", ("text",), score=stopword_frac,
+             fires=lambda c: c < F.lit(s.MIN_STOPWORD_FRAC),
+             description="Gopher stop-word fraction"),
+        Rule("dup_ngram_frac", ("text",), score=dup_ngram_frac,
+             fires=lambda c: c > F.lit(s.MAX_DUP_NGRAM_FRAC),
+             description="within-doc 13-gram duplicate fraction"),
+    ]

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale notes (design target: 10^12 docs on a 1000-executor cluster):
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  shuffle partition counts at any scale.
+- Arrow on: every Python-side rule crosses the JVM boundary in columnar
+  batches, never per row.
+- shuffle.partitions is a local-mode default only; on a real cluster AQE
+  derives post-shuffle parallelism from advisoryPartitionSizeInBytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "luzzu_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]")
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created session
+    (the driver passes its own session into ``queries()`` callables)."""
+    for k, v in DEFAULT_CONFS.items():
+        if k.startswith(("spark.sql.adaptive", "spark.sql.execution.arrow")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # non-runtime conf on this build — defaults still fine
+    return spark
