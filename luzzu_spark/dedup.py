@@ -1,0 +1,185 @@
+"""Corpus deduplication operators — the training-pipeline core.
+
+All variants are expressed as DataFrame transforms whose shuffles are on
+small fixed-width keys (64-bit hashes / band signatures), never on
+document text:
+
+- exact:      hash-groupBy on content hash (one shuffle of (hash,id));
+- 13-gram:    explode shingle hashes → semi/anti join against documents
+              sharing a shingle (BASELINE.json:6);
+- MinHash+LSH: shingles → k minhashes → bands → bucket join; candidate
+              pairs verified by exact Jaccard on signatures;
+- SimHash:    64-bit signature; near-dups = identical signature buckets
+              (band-rotated for ≤k-bit differences).
+
+Determinism: every hash is xxhash64 (seeded, content-only); every
+"first wins" is a row_number over explicit (hash, doc_id) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from luzzu_spark.rules import spec
+from luzzu_spark.rules.heuristics import ngram_hashes, with_token_columns
+
+# MinHash parameters (frozen): k permutations in b bands of r rows.
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+# (a*x + b) mod p universal-hash family, constants fixed (no RNG).
+# p = 2^31-1 keeps a*x' + b < 2^38 — no int64 overflow under ANSI mode.
+_MERSENNE_P = (1 << 31) - 1
+_HASH_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]          # odd
+_HASH_B = [(i * i * 0x9E3779B9) % _MERSENNE_P
+           for i in range(1, MINHASH_K + 1)]
+
+SHINGLE_N = 5  # word-shingle width for minhash/simhash
+
+
+def shingle_hashes(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Attach `shingles: array<long>` (xxhash64 of n-word shingles)."""
+    if "tokens" not in df.columns:
+        df = with_token_columns(df)
+    return df.withColumn("shingles", ngram_hashes(n))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the first doc (lowest id) per exact content hash.
+
+    Scale: shuffles (hash,id) pairs only; text never moves — the kept
+    ids semi-join back against the corpus."""
+    hashed = docs.select(F.xxhash64(text_col).alias("h"),
+                         F.col(id_col))
+    w = Window.partitionBy("h").orderBy(F.asc(id_col))
+    keep_ids = (hashed.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1).select(id_col))
+    return docs.join(keep_ids, id_col, "left_semi")
+
+
+def minhash_signatures(df: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, sig: array<long>) — k minhashes over shingle hashes.
+
+    Pure Catalyst: transform over the fixed permutation constants,
+    array_min per permutation. Docs with no shingles are excluded
+    (nothing to compare)."""
+    sh = shingle_hashes(df)
+
+    # Factory closure: a default-arg lambda (lambda x, a=a: ...) would
+    # make Spark's HOF binder count 2+ params and mis-bind the index arg.
+    def perm_fn(a: int, b: int):
+        return lambda x: F.pmod(a * F.pmod(x, F.lit(_MERSENNE_P))
+                                + F.lit(b), F.lit(_MERSENNE_P))
+
+    perms = F.array(*[
+        F.array_min(F.transform("shingles", perm_fn(a, b)))
+        for a, b in zip(_HASH_A, _HASH_B)])
+    return (sh.where(F.size("shingles") > 0)
+            .select(F.col(id_col), perms.alias("sig")))
+
+
+def lsh_candidate_pairs(sigs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs
+    (id_a < id_b) with estimated Jaccard from full signatures.
+
+    Scale: the self-join is per (band, band_hash) bucket — cardinality
+    bounded by bucket size, not corpus size; banding IS the blocking."""
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col("sig")[i * LSH_ROWS + r].cast("string")
+                            for r in range(LSH_ROWS)])).alias("bh"))
+        for i in range(LSH_BANDS)])
+    exploded = (sigs.withColumn("b", F.explode(bands))
+                .select(F.col(id_col), "sig",
+                        F.col("b.band"), F.col("b.bh")))
+    left = exploded.select(F.col(id_col).alias("id_a"),
+                           F.col("sig").alias("sig_a"), "band", "bh")
+    right = exploded.select(F.col(id_col).alias("id_b"),
+                            F.col("sig").alias("sig_b"), "band", "bh")
+    pairs = (left.join(right, ["band", "bh"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+        lambda x: x))
+    return (pairs.withColumn(
+        "est_jaccard",
+        F.try_divide(matches.cast("double"), F.lit(MINHASH_K)))
+        .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    sigs = minhash_signatures(docs, id_col)
+    return (lsh_candidate_pairs(sigs, id_col)
+            .where(F.col("est_jaccard") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+def simhash_expr() -> F.Column:
+    """64-bit SimHash over shingle hashes, pure Catalyst.
+
+    bit b of simhash = majority vote of bit b across shingle hashes.
+    Expressed as 64 sums of extracted bits — constant-folded into one
+    projection; no UDF."""
+    n = F.size("shingles")
+
+    def bit_sum(b: int):
+        return lambda acc, x: acc + (F.shiftrightunsigned(x, b)
+                                     .bitwiseAND(F.lit(1)))
+
+    bits = [
+        (F.aggregate("shingles", F.lit(0).cast("long"), bit_sum(b))
+         * 2 > n).cast("long") * F.lit(1 << b)
+        for b in range(63)]  # bit 63 excluded: keep result positive
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def simhash_signatures(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    sh = shingle_hashes(docs)
+    return (sh.where(F.size("shingles") > 0)
+            .select(F.col(id_col), simhash_expr().alias("simhash")))
+
+
+def simhash_bucket_pairs(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-signature collision pairs (Hamming distance 0 blocking;
+    k-bit tolerance would rotate band masks the same way)."""
+    sigs = simhash_signatures(docs, id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return (a.join(b, "simhash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "simhash")
+            .orderBy("id_a", "id_b"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after
+    LSH blocking): joins each side's shingle SET, computes
+    |∩|/|∪| with array ops."""
+    sh = (shingle_hashes(docs)
+          .select(F.col(id_col),
+                  F.array_distinct("shingles").alias("sset")))
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("sset").alias("set_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard",
+                        F.try_divide(inter.cast("double"), union))
+            .select("id_a", "id_b", "jaccard"))

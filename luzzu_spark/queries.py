@@ -1,0 +1,462 @@
+"""Driver-contract query catalog (SURVEY.md §2 operator inventory).
+
+Each entry: name → (spark_callable, duckdb_oracle_sql | None).
+The callable takes (spark, sf_dir) and returns a DataFrame; the oracle
+SQL runs in DuckDB over pre-registered views of the same parquet tables.
+None ⇒ non-SQL-expressible (UDF/model ops) → driver does rows-only.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7 risks):
+- every aggregate/computed column aliased identically on both sides;
+- doubles rounded in-query (sums to 2 dp, ratios to 6 dp) so value
+  hashes agree despite summation-order differences;
+- counts/sums of ints CAST to BIGINT (DuckDB would widen to INT128);
+- timestamps never returned raw — epoch seconds as BIGINT;
+- window functions carry explicit deterministic tie-breaks.
+
+Scale notes are attached per query; plans verified via
+.explain("formatted") in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# §2.4 Aggregations — relational
+# =========================================================================
+
+@register("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                                                      AS sum_disc_price,
+       CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE)      AS avg_qty,
+       CAST(ROUND(AVG(l_discount), 6) AS DOUBLE)      AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                       AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the metric-fold showcase (partial agg → final).
+
+    Scale: map-side partial aggregation on 4 tiny groups — shuffle is
+    O(partitions × groups); no skew concern at any input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                  .alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("q3_top_orders", oracle="""
+SELECT o.o_orderkey,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DOUBLE)                            AS revenue,
+       CAST(FLOOR(EPOCH(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""")
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + top-k (TakeOrderedAndProject).
+
+    Scale: customer is the small side → broadcast; lineitem⋈orders is
+    the one real shuffle, on the join key both sides are clustered by."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.unix_timestamp("o_orderdate")
+                     .alias("orderdate_epoch"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@register("q5_region_revenue", oracle="""
+SELECT n.n_name,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: every dimension broadcast, single fact shuffle."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+@register("agg_rollup_acctbal", oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(COUNT(c.c_custkey) AS BIGINT)        AS n_customers,
+       CAST(ROUND(SUM(c.c_acctbal), 2) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""")
+def agg_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daQ facet hierarchy recast: ROLLUP over region→nation grains."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("c_custkey").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+            .orderBy(F.asc_nulls_first("r_name"),
+                     F.asc_nulls_first("n_name")))
+
+
+@register("agg_distinct_stats", oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)   AS n_customers,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       CAST(COUNT(*) AS BIGINT)                    AS n_orders
+FROM orders
+""")
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distincts (oracle-checkable); the approx_count_distinct
+    scale path is a separate rows-only query."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+# =========================================================================
+# §2.5 Joins
+# =========================================================================
+
+@register("join_broadcast_dims", oracle="""
+SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+""")
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_nations"))
+            .orderBy("r_name"))
+
+
+@register("join_semi_customers_with_orders", oracle="""
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY n.n_name ORDER BY n.n_name
+""")
+def join_semi_customers_with_orders(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Left-semi: the seen-set membership op (dedup against a seen
+    corpus uses the same shape at web scale)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_active"))
+            .orderBy("n_name"))
+
+
+@register("join_anti_customers_no_orders", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_inactive
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_custkey IS NOT NULL)
+""")
+def join_anti_customers_no_orders(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_inactive")))
+
+
+@register("join_range_events_orders", oracle="""
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events e
+JOIN events e2
+  ON e2.user_id = e.user_id
+ AND e2.ts > e.ts
+ AND e2.ts <= e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'signup'
+GROUP BY e.event_type
+""")
+def join_range_events_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: events within 5 min after a signup by the
+    same user. Scale: equi-key on user_id bounds the blowup; Catalyst
+    plans SMJ on user_id with the range as a post-filter."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup")
+    e2 = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+    return (e.join(e2, (e.user_id == e2.u2) & (e2.ts2 > e.ts)
+                   & (e2.ts2 <= e.ts + F.expr("INTERVAL 5 MINUTES")))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+# =========================================================================
+# §2.6 Window functions
+# =========================================================================
+
+@register("window_rank_customers", oracle="""
+SELECT n_name, c_custkey, rnk FROM (
+  SELECT n.n_name, c.c_custkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+               ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS BIGINT)
+           AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+WHERE rnk <= 3
+ORDER BY n_name, rnk
+""")
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the ranked-corpus op
+    (README.md:15 recast). Explicit custkey tie-break = deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 3)
+            .select("n_name", "c_custkey", "rnk")
+            .orderBy("n_name", "rnk"))
+
+
+@register("window_running_avg", oracle="""
+SELECT event_id,
+       CAST(ROUND(AVG(value) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+         AS running_avg
+FROM events
+ORDER BY event_id
+""")
+def window_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(-3, Window.currentRow))
+    return (e.select("event_id",
+                     F.round(F.avg("value").over(w), 6)
+                      .alias("running_avg"))
+            .orderBy("event_id"))
+
+
+@register("window_lag_deltas", oracle="""
+SELECT event_id,
+       CAST(FLOOR(EPOCH(ts)) -
+            FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC))) AS BIGINT)
+         AS delta_sec
+FROM events
+ORDER BY event_id
+""")
+def window_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id"))
+    return (e.select(
+        "event_id",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("delta_sec"))
+        .orderBy("event_id"))
+
+
+# =========================================================================
+# §2.7 Sorts / limits / set ops / dedup
+# =========================================================================
+
+@register("sort_topk_parts", oracle="""
+SELECT p_partkey, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 15
+""")
+def sort_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (p.select("p_partkey", "p_retailprice")
+            .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+            .limit(15))
+
+
+@register("set_except_sources", oracle="""
+SELECT source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  EXCEPT
+  SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+ORDER BY source
+""")
+def set_except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source").distinct()
+    zh = d.where(F.col("lang") == "zh").select("source").distinct()
+    return en.exceptAll(zh).distinct().orderBy("source")
+
+
+@register("set_intersect_sources", oracle="""
+SELECT source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'fr'
+  INTERSECT
+  SELECT DISTINCT source FROM documents WHERE lang = 'de')
+ORDER BY source
+""")
+def set_intersect_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fr = d.where(F.col("lang") == "fr").select("source").distinct()
+    de = d.where(F.col("lang") == "de").select("source").distinct()
+    return fr.intersect(de).orderBy("source")
+
+
+@register("dedup_first_doc_per_source", oracle="""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC)
+           AS rn
+  FROM documents)
+WHERE rn = 1 ORDER BY source
+""")
+def dedup_first_doc_per_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Deterministic dedup: dropDuplicates is order-dependent under
+    parallelism (SURVEY.md §7 trap 2); row_number over explicit order
+    is the scale-safe idiom."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("source", "doc_id", "n_chars")
+            .orderBy("source"))
+
+
+# =========================================================================
+# §2.3 Scalar functions — events/JSON/time
+# =========================================================================
+
+@register("events_json_sum", oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                     AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def events_json_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (from_json on the Spark side — the real
+    parser; the oracle uses a regex for engine-neutrality)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("k", F.from_json("props", "k INT")["k"])
+            .groupBy("event_type")
+            .agg(F.sum("k").cast("long").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+
+
+@register("events_tumbling_10min", oracle="""
+SELECT CAST(FLOOR(FLOOR(EPOCH(ts)) / 600) * 600 AS BIGINT)
+         AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY window_start
+""")
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg — batch twin of the streaming op
+    (§2.8); window() start returned as epoch for portability."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "n_events", "sum_value")
+            .orderBy("window_start"))
+
+
+@register("events_date_stats", oracle="""
+SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(AVG(value), 6) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+""")
+def events_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("hour_epoch", "event_type"))

@@ -1,0 +1,190 @@
+"""Driver-contract queries: model UDFs, dedup, similarity, multimodal.
+
+Oracle-matched where both engines can express the math bit-identically;
+rows-only (no oracle entry) for UDF/model ops and hash-seeded LSH ops —
+the driver records the weaker rows-only check for those
+(__spark_entry__.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luzzu_spark import dedup, similarity
+from luzzu_spark.fixtures import load_table
+from luzzu_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---- embeddings: oracle-matched array math ------------------------------
+
+@register("embed_norm_stats", oracle="""
+SELECT label,
+       CAST(ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS DOUBLE)
+         AS avg_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings GROUP BY label ORDER BY label
+""")
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm stats per label — array fold entirely JVM-side."""
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding",
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (e.groupBy("label")
+            .agg(F.round(F.avg(norm), 6).alias("avg_norm"),
+                 F.count(F.lit(1)).alias("n_vecs"))
+            .orderBy("label"))
+
+
+@register("embed_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.qvec, e.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qvec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+  FROM scored)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked
+WHERE rnk <= 5 ORDER BY query_id, rnk
+""")
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors — the ANN baseline
+    (broadcast queries × corpus scan; shuffle carries score triples)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(e, q, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"), "rnk")
+
+
+@register("embed_lsh_topk")  # rows-only: bucketing is hash-seeded
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the scale path (per-query work
+    shrinks by 2^planes). Rows-only: bucket ids derive from xxhash64."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.lsh_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk")
+
+
+# ---- dedup family -------------------------------------------------------
+
+@register("dedup_minhash_pairs")  # rows-only: xxhash64-based signatures
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (threshold 0.5)."""
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash_pairs")  # rows-only: xxhash64-based signatures
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_bucket_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_exact_survivors", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id ASC) AS rn
+  FROM documents)
+WHERE rn = 1
+""")
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping lowest doc_id per content — aggregate check
+    (the per-row op is dedup.exact_dedup; content-hash partitioning)."""
+    survivors = dedup.exact_dedup(_docs(spark, sf_dir))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+@register("dedup_jaccard_verified")  # rows-only: hash shingles
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ 0.8 —
+    the block-then-verify pattern."""
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_dedup_pairs(docs, threshold=0.3)
+    verified = dedup.ngram_jaccard_pairs(docs,
+                                         cands.select("id_a", "id_b"))
+    return (verified.where(F.col("jaccard") >= 0.8)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+# ---- model UDF ops (rows-only by contract) ------------------------------
+
+@register("docs_langid")  # rows-only: pandas-UDF model rule
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luzzu_spark.rules.langid import with_langid
+    d = with_langid(_docs(spark, sf_dir))
+    return (d.groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("score_langid_conf"), 6).alias("avg_conf"))
+            .orderBy("lang", "lang_pred"))
+
+
+@register("docs_perplexity_hist")  # rows-only: pandas-UDF model rule
+def docs_perplexity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luzzu_spark.rules.perplexity import with_perplexity
+    d = with_perplexity(_docs(spark, sf_dir))
+    bucket = F.least(F.lit(19), F.greatest(
+        F.lit(0), F.floor(F.col("score_perplexity") / 2).cast("int")))
+    return (d.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
+
+
+@register("pipeline_verdict_counts")  # rows-only: full UDF pipeline
+def pipeline_verdict_counts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+    pages = as_webpages(_docs(spark, sf_dir), inject_pii=True)
+    assessed = QualityPipeline().assess(pages)
+    return (assessed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"))
+            .orderBy("lang"))
+
+
+# ---- multimodal plumbing ------------------------------------------------
+
+@register("multimodal_binary_stats", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CAST(len(text) + 26 AS BIGINT)) AS BIGINT)
+         AS total_html_bytes
+FROM documents
+""")
+def multimodal_binary_stats(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: html is an opaque binary payload; length
+    aggregates JVM-side. (26 = len('<html><body></body></html>'); text
+    is ascii in fixtures so byte length == char length.)"""
+    from luzzu_spark.fixtures import as_webpages
+    pages = as_webpages(_docs(spark, sf_dir))
+    return pages.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("html").cast("long")).alias("total_html_bytes"))

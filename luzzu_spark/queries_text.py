@@ -1,0 +1,264 @@
+"""Driver-contract queries over the web-text corpus (documents table).
+
+These exercise the quality-filter scalar surface (SURVEY.md §2.3) with
+DuckDB oracles. Token model shared with the oracle: whitespace split of
+trimmed text, empties removed — expressed in DuckDB as
+``list_filter(string_split(text,' '), x -> x <> '')`` (fixture text is
+single-space separated; the Spark side splits on \\s+ which agrees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import load_table
+from luzzu_spark.queries import register
+from luzzu_spark.rules import spec
+from luzzu_spark.rules.heuristics import with_token_columns
+from luzzu_spark.rules.stopwords import STOPWORDS
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_TOKS = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register("lang_doc_counts", oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def lang_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("lang"))
+
+
+@register("text_token_stats", oracle=f"""
+SELECT lang,
+       CAST(ROUND(AVG(len({_TOKS})), 6) AS DOUBLE) AS avg_tokens,
+       CAST(MAX(len({_TOKS})) AS BIGINT)           AS max_tokens,
+       CAST(ROUND(AVG(CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
+                      / len({_TOKS})), 6) AS DOUBLE) AS avg_word_len
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + mean-word-length metrics aggregated per language."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    return (d.withColumn("mwl", F.try_divide(total_len.cast("double"),
+                                             F.col("n_tokens")))
+            .groupBy("lang")
+            .agg(F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_tokens"),
+                 F.round(F.avg("mwl"), 6).alias("avg_word_len"))
+            .orderBy("lang"))
+
+
+@register("text_stopword_fraction", oracle=f"""
+SELECT lang,
+       CAST(ROUND(AVG(CAST(len(list_filter({_TOKS},
+                 x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                 / len({_TOKS})), 6) AS DOUBLE) AS avg_stop_frac
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_stopword_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher stop-word fraction, averaged per language (the broadcast
+    reference-table pattern: stopword list ships as a literal array)."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter("tokens",
+                           lambda t: F.array_contains(sw, t)))
+    return (d.withColumn("sf", F.try_divide(hits.cast("double"),
+                                            F.col("n_tokens")))
+            .groupBy("lang")
+            .agg(F.round(F.avg("sf"), 6).alias("avg_stop_frac"))
+            .orderBy("lang"))
+
+
+@register("text_quality_flag_counts", oracle=f"""
+SELECT lang,
+  CAST(SUM(CASE WHEN n_chars < {spec.MIN_DOC_CHARS} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_too_short,
+  CAST(SUM(CASE WHEN len({_TOKS}) < {spec.MIN_WORDS} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_few_words,
+  CAST(SUM(CASE WHEN CAST(len(list_filter({_TOKS},
+           x -> list_contains({_SW_SQL}, x))) AS DOUBLE) / len({_TOKS})
+           < {spec.MIN_STOPWORD_FRAC} THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_low_stopword,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_quality_flag_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-rule firing counts for the declarative heuristics — the
+    rule-firing-rate metric (BASELINE.json:6) with a SQL oracle."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    stop_frac = F.try_divide(hits.cast("double"), F.col("n_tokens"))
+    return (d.groupBy("lang").agg(
+        F.sum((F.col("n_chars") < spec.MIN_DOC_CHARS).cast("long"))
+         .alias("n_too_short"),
+        F.sum((F.col("n_tokens") < spec.MIN_WORDS).cast("long"))
+         .alias("n_few_words"),
+        F.sum((stop_frac < spec.MIN_STOPWORD_FRAC).cast("long"))
+         .alias("n_low_stopword"),
+        F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang"))
+
+
+@register("text_fingerprint", oracle="""
+SELECT source, doc_id, md5(text) AS fp FROM documents
+WHERE doc_id % 97 = 0 ORDER BY doc_id
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via md5 (engine-portable content hash;
+    the scale dedup path uses xxhash64, tested rows-only)."""
+    return (_docs(spark, sf_dir)
+            .where(F.col("doc_id") % 97 == 0)
+            .select("source", "doc_id", F.md5("text").alias("fp"))
+            .orderBy("doc_id"))
+
+
+@register("dedup_exact_text", oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dupes
+FROM documents
+""")
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup stats. Scale: hash partial-agg on
+    md5(text) — never shuffles full text twice."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dupes"))
+
+
+@register("ngram_dup_stats", oracle=f"""
+WITH t AS (
+  SELECT lang, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT lang,
+         CASE WHEN len(toks) >= {spec.NGRAM_N}
+              THEN list_transform(
+                     generate_series(1, len(toks) - {spec.NGRAM_N - 1}),
+                     i -> array_to_string(
+                            toks[i: i + {spec.NGRAM_N - 1}], ' '))
+              ELSE [] END AS grams
+  FROM t)
+SELECT lang,
+       CAST(SUM(len(grams)) AS BIGINT) AS n_grams,
+       CAST(SUM(len(grams) - len(list_distinct(grams))) AS BIGINT)
+         AS n_dup_grams
+FROM g GROUP BY lang ORDER BY lang
+""")
+def ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc 13-gram repetition totals per language — the
+    repetition rule's corpus report, on gram STRINGS so both engines
+    agree (hash-based variant is rows-only)."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    n = spec.NGRAM_N
+    toks = F.col("tokens")
+    grams = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (d.withColumn("grams", grams)
+            .groupBy("lang")
+            .agg(F.sum(F.size("grams")).cast("long").alias("n_grams"),
+                 F.sum(F.size("grams")
+                       - F.size(F.array_distinct("grams")))
+                 .cast("long").alias("n_dup_grams"))
+            .orderBy("lang"))
+
+
+@register("scrub_pii_identity", oracle="""
+WITH injected AS (
+  SELECT doc_id,
+    text || CASE doc_id % 7
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com for details'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                  4, '0') || ' x' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 2 THEN ' served from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      WHEN 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                  4, '0')
+      ELSE '' END AS raw
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+            '(\\+?[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}|[0-9]{3}-[0-9]{4}',
+            '<PHONE>', 'g'),
+          '((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])',
+          '<IP>', 'g'),
+        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+      '\\b(badword|slur1|slur2|toxicterm)\\b', '<TOX>', 'g') AS clean
+  FROM injected)
+SELECT doc_id, md5(clean) AS scrubbed_md5 FROM scrubbed ORDER BY doc_id
+""")
+def scrub_pii_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity of the scrub chain, cross-engine: inject PII as a
+    deterministic function of doc_id, scrub, md5. A hash mismatch on ANY
+    row ⇒ the chain is not byte-deterministic (BASELINE.json:15)."""
+    from luzzu_spark.fixtures import pii_suffix_expr
+    from luzzu_spark.rules.scrub import scrub_expr
+    d = _docs(spark, sf_dir)
+    raw = F.concat(F.col("text"), pii_suffix_expr())
+    return (d.select("doc_id",
+                     F.md5(scrub_expr(raw)).alias("scrubbed_md5"))
+            .orderBy("doc_id"))
+
+
+@register("docs_quality_score", oracle=f"""
+SELECT source,
+  CAST(ROUND(AVG(
+    0.25 * CASE WHEN n_chars >= {spec.MIN_DOC_CHARS} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN len({_TOKS}) >= {spec.MIN_WORDS} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN CAST(len(list_filter({_TOKS},
+       x -> list_contains({_SW_SQL}, x))) AS DOUBLE) / len({_TOKS})
+       >= {spec.MIN_STOPWORD_FRAC} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
+       / len({_TOKS}) BETWEEN {spec.MEAN_WORD_LEN_LO}
+       AND {spec.MEAN_WORD_LEN_HI} THEN 1 ELSE 0 END), 6) AS DOUBLE)
+    AS avg_quality,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+""")
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (weighted rule-pass sum — Luzzu's
+    user-weighted ranking input, README.md:15), averaged per source."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    stop_frac = F.try_divide(hits.cast("double"), F.col("n_tokens"))
+    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    mwl = F.try_divide(total_len.cast("double"), F.col("n_tokens"))
+    score = (
+        0.25 * (F.col("n_chars") >= spec.MIN_DOC_CHARS).cast("double")
+        + 0.25 * (F.col("n_tokens") >= spec.MIN_WORDS).cast("double")
+        + 0.25 * (stop_frac >= spec.MIN_STOPWORD_FRAC).cast("double")
+        + 0.25 * ((mwl >= spec.MEAN_WORD_LEN_LO)
+                  & (mwl <= spec.MEAN_WORD_LEN_HI)).cast("double"))
+    return (d.withColumn("q", score)
+            .groupBy("source")
+            .agg(F.round(F.avg("q"), 6).alias("avg_quality"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source"))

@@ -1,0 +1,92 @@
+"""Dedup + similarity operator tests against brute-force ground truth."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from luzzu_spark import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def ground_truth_pairs(docs_pdf):
+    """Brute-force 5-shingle Jaccard over all doc pairs (pandas)."""
+    sets = {}
+    for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
+        toks = text.strip().split()
+        sets[doc_id] = {" ".join(toks[i:i + dedup.SHINGLE_N])
+                        for i in range(len(toks) - dedup.SHINGLE_N + 1)}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            out[(a, b)] = inter / len(sa | sb)
+    return out
+
+
+def test_minhash_recall_and_precision(spark, docs, ground_truth_pairs):
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_dedup_pairs(docs, 0.5).collect()}
+    true_dups = {p for p, j in ground_truth_pairs.items() if j >= 0.8}
+    missed = true_dups - got
+    assert not missed, f"minhash missed true near-dups: {missed}"
+    # no wild false positives: every reported pair has real overlap
+    for p in got:
+        assert ground_truth_pairs.get(p, 0.0) >= 0.3, p
+
+
+def test_jaccard_verify_matches_ground_truth(spark, docs,
+                                             ground_truth_pairs):
+    cands = dedup.minhash_dedup_pairs(docs, 0.3).select("id_a", "id_b")
+    ver = dedup.ngram_jaccard_pairs(docs, cands).collect()
+    for r in ver:
+        want = ground_truth_pairs.get((r["id_a"], r["id_b"]), 0.0)
+        assert abs(r["jaccard"] - want) < 1e-9
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = dedup.exact_dedup(docs)
+    assert once.count() == dedup.exact_dedup(once).count()
+
+
+def test_simhash_pairs_are_near_dups(spark, docs, ground_truth_pairs):
+    pairs = dedup.simhash_bucket_pairs(docs).collect()
+    for r in pairs:
+        assert ground_truth_pairs.get((r["id_a"], r["id_b"]), 0) >= 0.5
+
+
+def test_brute_force_topk_matches_numpy(spark, docs_pdf):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+
+    q = emb.where(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb, q, k=5).collect()
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -sims))
+        want = [int(ids[i]) for i in order[:5]]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == qid]
+        assert mine == want, (qid, mine, want)
+
+
+def test_lsh_topk_subset_of_brute_force_scores(spark):
+    """LSH answers must be real cosine scores (approx in recall only)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+          for r in similarity.brute_force_topk(emb, q, k=500).collect()}
+    for r in similarity.lsh_topk(emb, q, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in bf
+        assert abs(bf[key] - r["sim"]) < 1e-9
