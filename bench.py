@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The headline number is the full quality-filter pipeline (langid +
+perplexity pandas UDFs + heuristic rules + scrub) over the north-rule
+web-page table synthesized from the `documents` fixture, replicated
+deterministically REPLICATE× so throughput is measured on a corpus
+big enough to amortize job overhead (docs/sec reported as an extra).
+
+Every query is forced end-to-end with the `noop` sink — full
+materialization on executors, zero driver collect — so timings reflect
+the whole plan (scan → shuffle → UDF → write), not a pruned count().
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPLICATE (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from luzzu_spark.fixtures import as_webpages, load_table  # noqa: E402
+from luzzu_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "20"))
+
+
+def replicated_pages(spark: SparkSession, sf_dir: str,
+                     factor: int) -> DataFrame:
+    """Deterministic corpus scale-up: cross the fixture docs with a
+    replica index, remapping doc_id so every row stays unique (and the
+    PII-injection pattern keeps varying). No randomness — same corpus
+    every run at a given (sf_dir, factor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if factor > 1:
+        n = docs.count()
+        reps = spark.range(factor).select(
+            F.col("id").alias("rep"))
+        docs = (docs.crossJoin(F.broadcast(reps))
+                .withColumn("doc_id",
+                            (F.col("doc_id") + F.col("rep") * n)
+                            .cast("long"))
+                .drop("rep"))
+    return as_webpages(docs, inject_pii=True)
+
+
+def run_noop(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+    from luzzu_spark.pipeline import QualityPipeline
+    pages = replicated_pages(spark, sf_dir, REPLICATE)
+    n_docs = pages.count()  # cached metadata read; excluded from timing
+    assessed = QualityPipeline().assess(pages)
+    sec = run_noop(assessed)
+    return sec, n_docs
+
+
+def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
+    """Assessment + the daQ-recast metric aggregates in one job."""
+    from luzzu_spark.metrics import (facet_rollup, partition_lineage,
+                                     rank_sources)
+    from luzzu_spark.pipeline import QualityPipeline
+    pages = as_webpages(load_table(spark, sf_dir, "documents"),
+                        inject_pii=True)
+    assessed = QualityPipeline().assess(pages)
+    t0 = time.perf_counter()
+    partition_lineage(assessed).write.mode("overwrite") \
+        .format("noop").save()
+    facet_rollup(assessed).write.mode("overwrite") \
+        .format("noop").save()
+    rank_sources(assessed).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("luzzu_spark_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from luzzu_spark import queries as _q
+    from luzzu_spark import queries_ml, queries_text  # noqa: F401
+
+    catalog = _q.queries()
+    relational = ["q1_pricing_summary", "q3_top_orders",
+                  "q5_region_revenue", "window_rank_customers",
+                  "events_tumbling_10min"]
+    textops = ["dedup_exact_text", "dedup_minhash_pairs",
+               "dedup_simhash_pairs", "embed_cosine_topk",
+               "docs_quality_score"]
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Arrow path once so timings measure steady state
+    catalog["q1_pricing_summary"](spark, SF_DIR).write \
+        .mode("overwrite").format("noop").save()
+
+    sec, n_docs = bench_pipeline(spark, SF_DIR)
+    timings["pipeline_full_filter"] = round(sec, 3)
+    docs_per_sec = round(n_docs / sec, 1)
+
+    timings["metrics_reports"] = round(bench_metrics(spark, SF_DIR), 3)
+
+    for name in relational + textops:
+        timings[name] = round(run_noop(catalog[name](spark, SF_DIR)), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total headline-query wall time (full quality-filter "
+                  "pipeline + daQ metrics + relational/dedup/ANN ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "docs_filtered": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "replicate_factor": REPLICATE,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,22 +63,24 @@ def minhash_signatures(df: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """(id, sig: array<long>) — k minhashes over shingle hashes.
 
-    Pure Catalyst: transform over the fixed permutation constants,
-    array_min per permutation. Docs with no shingles are excluded
-    (nothing to compare)."""
+    Pure Catalyst, explode-then-aggregate: one pass over the exploded
+    (id, shingle) rows with k `min` aggregate columns. This stays in
+    whole-stage-codegen hash agg (k array `transform` folds in a single
+    projection would blow the codegen size limit and fall back to
+    interpreted lambdas — O(k·S) per row). Map-side partial agg
+    collapses each doc to one row before the shuffle, so the shuffle is
+    |docs| rows of k longs regardless of shingle count. Docs with no
+    shingles are excluded (nothing to compare)."""
     sh = shingle_hashes(df)
-
-    # Factory closure: a default-arg lambda (lambda x, a=a: ...) would
-    # make Spark's HOF binder count 2+ params and mis-bind the index arg.
-    def perm_fn(a: int, b: int):
-        return lambda x: F.pmod(a * F.pmod(x, F.lit(_MERSENNE_P))
-                                + F.lit(b), F.lit(_MERSENNE_P))
-
-    perms = F.array(*[
-        F.array_min(F.transform("shingles", perm_fn(a, b)))
-        for a, b in zip(_HASH_A, _HASH_B)])
-    return (sh.where(F.size("shingles") > 0)
-            .select(F.col(id_col), perms.alias("sig")))
+    exploded = (sh.where(F.size("shingles") > 0)
+                .select(F.col(id_col), F.explode("shingles").alias("sh")))
+    x = F.pmod(F.col("sh"), F.lit(_MERSENNE_P))
+    aggs = [F.min(F.pmod(a * x + F.lit(b), F.lit(_MERSENNE_P)))
+            .alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))]
+    mins = exploded.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)])
+    return mins.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame,
@@ -122,33 +124,29 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
             .orderBy("id_a", "id_b"))
 
 
-def simhash_expr() -> F.Column:
+def simhash_signatures(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over shingle hashes, pure Catalyst.
 
     bit b of simhash = majority vote of bit b across shingle hashes.
-    Expressed as 64 sums of extracted bits — constant-folded into one
-    projection; no UDF."""
-    n = F.size("shingles")
-
-    def bit_sum(b: int):
-        return lambda acc, x: acc + (F.shiftrightunsigned(x, b)
-                                     .bitwiseAND(F.lit(1)))
-
-    bits = [
-        (F.aggregate("shingles", F.lit(0).cast("long"), bit_sum(b))
-         * 2 > n).cast("long") * F.lit(1 << b)
-        for b in range(63)]  # bit 63 excluded: keep result positive
+    Explode-then-aggregate (same rationale as minhash_signatures): one
+    codegen'd hash agg with 63 bit-sum columns over exploded
+    (id, shingle) rows; 63 `F.aggregate` array folds in one projection
+    would run interpreted at O(63·S) per row. Bit 63 excluded so the
+    result stays positive."""
+    sh = shingle_hashes(docs)
+    exploded = (sh.where(F.size("shingles") > 0)
+                .select(F.col(id_col), F.explode("shingles").alias("h")))
+    aggs = [F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)))
+            .alias(f"b{b}") for b in range(63)]
+    counted = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"), *aggs)
+    bits = [(F.col(f"b{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << b)
+            for b in range(63)]
     out = bits[0]
     for bcol in bits[1:]:
         out = out + bcol
-    return out
-
-
-def simhash_signatures(docs: DataFrame,
-                       id_col: str = "doc_id") -> DataFrame:
-    sh = shingle_hashes(docs)
-    return (sh.where(F.size("shingles") > 0)
-            .select(F.col(id_col), simhash_expr().alias("simhash")))
+    return counted.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_bucket_pairs(docs: DataFrame,
