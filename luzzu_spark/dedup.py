@@ -40,8 +40,9 @@ SHINGLE_N = 5  # word-shingle width for minhash/simhash
 
 def shingle_hashes(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Attach `shingles: array<long>` (xxhash64 of n-word shingles)."""
-    if "tokens" not in df.columns:
-        df = with_token_columns(df)
+    from luzzu_spark.fixtures import spread
+    if "token_hashes" not in df.columns:
+        df = with_token_columns(spread(df))
     return df.withColumn("shingles", ngram_hashes(n))
 
 
@@ -70,10 +71,13 @@ def minhash_signatures(df: DataFrame,
     interpreted lambdas — O(k·S) per row). Map-side partial agg
     collapses each doc to one row before the shuffle, so the shuffle is
     |docs| rows of k longs regardless of shingle count. Docs with no
-    shingles are excluded (nothing to compare)."""
+    shingles are excluded (nothing to compare): plain explode() emits no
+    rows for an empty array, so no pre-filter is needed — an explicit
+    `where(size(shingles) > 0)` gets predicate-pushed below the
+    projection and re-evaluates the whole tokenize→hash→shingle
+    expression inline (measured 3× slowdown)."""
     sh = shingle_hashes(df)
-    exploded = (sh.where(F.size("shingles") > 0)
-                .select(F.col(id_col), F.explode("shingles").alias("sh")))
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     x = F.pmod(F.col("sh"), F.lit(_MERSENNE_P))
     aggs = [F.min(F.pmod(a * x + F.lit(b), F.lit(_MERSENNE_P)))
             .alias(f"mh{i}")
@@ -133,10 +137,10 @@ def simhash_signatures(docs: DataFrame,
     codegen'd hash agg with 63 bit-sum columns over exploded
     (id, shingle) rows; 63 `F.aggregate` array folds in one projection
     would run interpreted at O(63·S) per row. Bit 63 excluded so the
-    result stays positive."""
+    result stays positive. No-shingle docs drop out via plain explode()
+    (no pre-filter — see minhash_signatures on the pushdown trap)."""
     sh = shingle_hashes(docs)
-    exploded = (sh.where(F.size("shingles") > 0)
-                .select(F.col(id_col), F.explode("shingles").alias("h")))
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("h"))
     aggs = [F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)))
             .alias(f"b{b}") for b in range(63)]
     counted = exploded.groupBy(id_col).agg(

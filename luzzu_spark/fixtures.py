@@ -25,6 +25,22 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure at least core-count partitions before compute-heavy stages.
+
+    A single small parquet file (one row group) scans as ONE partition,
+    which serializes every downstream per-row stage onto one core — at
+    fixture scale that turned the whole document pipeline single-threaded.
+    At production scale the input arrives as thousands of splits, the
+    partition count already exceeds parallelism, and this is a no-op (no
+    shuffle added). Only under-parallel inputs pay the one round-robin
+    shuffle, whose cost is proportional to the (small) input."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet at fixture scale; an
     ``iceberg://db.table``-style path would switch to a catalog read."""

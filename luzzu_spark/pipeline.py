@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from luzzu_spark.rules import spec
-from luzzu_spark.rules.heuristics import with_token_columns
+from luzzu_spark.rules.heuristics import (TOKEN_HELPER_COLS,
+                                          with_token_columns)
 from luzzu_spark.rules.langid import with_langid
 from luzzu_spark.rules.perplexity import with_perplexity
 from luzzu_spark.rules.registry import RuleRegistry, default_registry
@@ -62,15 +63,19 @@ class QualityPipeline:
     scrub: bool = True
     repartition_salted: bool = False  # enable for skewed prod inputs
     num_partitions: int | None = None
+    auto_spread: bool = True  # lift under-parallel inputs to core count
 
     def assess(self, pages: DataFrame) -> DataFrame:
         """Full per-row assessment: scores, verdict, scrubbed text."""
+        from luzzu_spark.fixtures import spread
         deps = self.registry.deps()
         keep_cols = [c for c in pages.columns
                      if c in deps or c in LINEAGE_COLS]
         df = pages.select(*keep_cols)
         if self.repartition_salted and "url" in df.columns:
             df = salted_repartition(df, self.num_partitions)
+        elif self.auto_spread:
+            df = spread(df)
         df = with_token_columns(df)
         df = self.registry.with_scores(df)
         df = with_langid(df)        # plugin rule → score_langid_conf
@@ -78,7 +83,10 @@ class QualityPipeline:
         df = self.registry.with_verdict(df)
         if self.scrub:
             df = with_scrub(df)
-        return df.drop("tokens")
+        # drop the array helpers (token/shingle arrays are wide); keep the
+        # scalar stats (n_chars/n_tokens) — they're cheap lineage
+        return df.drop(*[c for c in TOKEN_HELPER_COLS
+                         if c not in ("n_chars", "n_tokens")])
 
     def filtered(self, pages: DataFrame) -> DataFrame:
         """The kept, scrubbed corpus (the training-data output)."""

@@ -12,16 +12,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from luzzu_spark import dedup, similarity
-from luzzu_spark.fixtures import load_table
+from luzzu_spark.fixtures import load_table, spread
 from luzzu_spark.queries import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: fixture parquet is a single split; per-row text compute
+    # must not serialize onto one core (no-op on many-split prod inputs)
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return spread(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---- embeddings: oracle-matched array math ------------------------------

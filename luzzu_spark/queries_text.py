@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from luzzu_spark.fixtures import load_table
+from luzzu_spark.fixtures import load_table, spread
 from luzzu_spark.queries import register
 from luzzu_spark.rules import spec
 from luzzu_spark.rules.heuristics import with_token_columns
@@ -23,7 +23,9 @@ _TOKS = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread: fixture parquet is a single split; per-row text compute
+    # must not serialize onto one core (no-op on many-split prod inputs)
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 @register("lang_doc_counts", oracle="""
