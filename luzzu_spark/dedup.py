@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from luzzu_spark.rules import spec
-from luzzu_spark.rules.heuristics import ngram_hashes, with_token_columns
+from luzzu_spark.rules.heuristics import ngram_hashes, with_token_hashes
 
 # MinHash parameters (frozen): k permutations in b bands of r rows.
 MINHASH_K = 32
@@ -42,7 +42,7 @@ def shingle_hashes(df: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Attach `shingles: array<long>` (xxhash64 of n-word shingles)."""
     from luzzu_spark.fixtures import spread
     if "token_hashes" not in df.columns:
-        df = with_token_columns(spread(df))
+        df = with_token_hashes(spread(df))
     return df.withColumn("shingles", ngram_hashes(n))
 
 

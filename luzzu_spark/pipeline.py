@@ -30,6 +30,7 @@ from luzzu_spark.rules.heuristics import (TOKEN_HELPER_COLS,
 from luzzu_spark.rules.langid import with_langid
 from luzzu_spark.rules.perplexity import with_perplexity
 from luzzu_spark.rules.registry import RuleRegistry, default_registry
+from luzzu_spark.rules.repetition import with_dup13
 from luzzu_spark.rules.scrub import with_scrub
 
 LINEAGE_COLS = ("url", "lang", "doc_id", "source", "warc_ts")
@@ -80,13 +81,13 @@ class QualityPipeline:
         df = self.registry.with_scores(df)
         df = with_langid(df)        # plugin rule → score_langid_conf
         df = with_perplexity(df)    # plugin rule → score_perplexity
+        df = with_dup13(df)         # plugin rule → score_dup_ngram_frac
         df = self.registry.with_verdict(df)
         if self.scrub:
             df = with_scrub(df)
-        # drop the array helpers (token/shingle arrays are wide); keep the
-        # scalar stats (n_chars/n_tokens) — they're cheap lineage
-        return df.drop(*[c for c in TOKEN_HELPER_COLS
-                         if c not in ("n_chars", "n_tokens")])
+        # drop the token array (wide); keep the scalar stats
+        # (n_chars/n_tokens) — cheap lineage
+        return df.drop("tokens")
 
     def filtered(self, pages: DataFrame) -> DataFrame:
         """The kept, scrubbed corpus (the training-data output)."""

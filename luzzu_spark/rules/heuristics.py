@@ -45,14 +45,25 @@ def with_token_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumns({
         "tokens": tokens_expr(text_col),
         "n_chars": F.length(F.coalesce(F.col(text_col), F.lit(""))),
-    }).withColumn("n_tokens", F.size("tokens"))
-      .withColumn("token_hashes",
-                  F.transform("tokens", lambda t: F.xxhash64(t)))
-      .withColumn("shingles13", ngram_hashes(spec.NGRAM_N)))
+    }).withColumn("n_tokens", F.size("tokens")))
 
-# columns with_token_columns attaches; the pipeline drops them at the end
-TOKEN_HELPER_COLS = ("tokens", "n_tokens", "n_chars", "token_hashes",
-                     "shingles13")
+
+def with_token_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token_hashes: array<long> (xxhash64 per token) — the base
+    column for dedup shingling. Materialized as its own column so shingle
+    expressions slice bound long arrays instead of re-hashing strings
+    (higher-order functions are CodegenFallback/interpreted; long copies
+    beat string concat ~4× on the shingle stage). Kept OUT of the main
+    quality pipeline, which computes repetition in the vectorized Arrow
+    plugin rule (rules/repetition.py) instead."""
+    if "tokens" not in df.columns:
+        df = with_token_columns(df, text_col)
+    return df.withColumn("token_hashes",
+                         F.transform("tokens", lambda t: F.xxhash64(t)))
+
+
+# columns with_token_columns attaches; the pipeline drops the arrays
+TOKEN_HELPER_COLS = ("tokens", "n_tokens", "n_chars")
 
 
 # -- per-rule score expressions (read the derived columns) -----------------
@@ -104,15 +115,6 @@ def ngram_hashes(n: int = spec.NGRAM_N,
     ).otherwise(F.array().cast("array<long>"))
 
 
-def dup_ngram_frac() -> Column:
-    # reads the materialized shingles13 column (bound attribute) so the
-    # shingle array is built once per row, not once per reference
-    h = F.col("shingles13")
-    return F.coalesce(
-        F.try_divide(F.size(h) - F.size(F.array_distinct(h)), F.size(h)),
-        F.lit(0.0))
-
-
 def heuristic_rules() -> list[Rule]:
     s = spec
     return [
@@ -139,7 +141,8 @@ def heuristic_rules() -> list[Rule]:
         Rule("stopword_frac", ("text",), score=stopword_frac,
              fires=lambda c: c < F.lit(s.MIN_STOPWORD_FRAC),
              description="Gopher stop-word fraction"),
-        Rule("dup_ngram_frac", ("text",), score=dup_ngram_frac,
-             fires=lambda c: c > F.lit(s.MAX_DUP_NGRAM_FRAC),
-             description="within-doc 13-gram duplicate fraction"),
+        # dup_ngram_frac is a PLUGIN rule (rules/repetition.py): the
+        # 13-gram hash array as a Catalyst HOF ran interpreted and
+        # dominated the whole pipeline; the vectorized Arrow form rides
+        # the same Python-worker stage as langid/perplexity.
     ]

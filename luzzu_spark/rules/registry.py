@@ -110,6 +110,11 @@ def default_registry() -> RuleRegistry:
     for rule in heuristics.heuristic_rules():
         reg.register(rule)
     reg.register(Rule(
+        name="dup_ngram_frac", deps=("text",),
+        fires=lambda s: s > F.lit(spec.MAX_DUP_NGRAM_FRAC),
+        description="within-doc 13-gram duplicate fraction (plugin "
+                    "rule, vectorized rolling-hash pandas UDF)"))
+    reg.register(Rule(
         name="langid_conf", deps=("text",),
         fires=lambda s: s < F.lit(spec.MIN_LANGID_CONF),
         description="deterministic stop-word-profile language-ID "

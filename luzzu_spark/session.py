@@ -22,6 +22,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.shuffle.partitions": "32",
+    # fixture-scale scan granularity: a few hundred MB of parquet must
+    # still fan out across all cores (128m default packs it into ~3
+    # splits). On a real cluster reading 100 TB, raise back to 128-256m
+    # so task count stays ~1e6, not 1e7.
+    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

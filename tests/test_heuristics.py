@@ -12,12 +12,14 @@ from luzzu_spark.rules.registry import default_registry
 def _assess(spark, texts):
     from luzzu_spark.rules.langid import with_langid
     from luzzu_spark.rules.perplexity import with_perplexity
+    from luzzu_spark.rules.repetition import with_dup13
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     df = with_token_columns(df)
     reg = default_registry()
     df = reg.with_scores(df)
     df = with_langid(df)
     df = with_perplexity(df)
+    df = with_dup13(df)
     return reg.with_verdict(df)
 
 
