@@ -27,10 +27,10 @@ from pyspark.sql import functions as F
 from luzzu_spark.rules import spec
 from luzzu_spark.rules.heuristics import (TOKEN_HELPER_COLS,
                                           with_token_columns)
-from luzzu_spark.rules.langid import with_langid
-from luzzu_spark.rules.perplexity import with_perplexity
+from luzzu_spark.rules.langid import langid_udf
+from luzzu_spark.rules.perplexity import perplexity_udf
+from luzzu_spark.rules.repetition import dup13_udf
 from luzzu_spark.rules.registry import RuleRegistry, default_registry
-from luzzu_spark.rules.repetition import with_dup13
 from luzzu_spark.rules.scrub import with_scrub
 
 LINEAGE_COLS = ("url", "lang", "doc_id", "source", "warc_ts")
@@ -38,6 +38,27 @@ LINEAGE_COLS = ("url", "lang", "doc_id", "source", "warc_ts")
 
 def host_expr(url_col: str = "url") -> F.Column:
     return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def with_plugin_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all three plugin-rule scores (langid, perplexity, 13-gram
+    repetition) in ONE withColumns projection.
+
+    Chaining the per-rule helpers (with_langid → with_perplexity → …)
+    puts a struct-extraction projection between the UDFs, which blocks
+    ExtractPythonUDFs from merging them — the plan then carries THREE
+    ArrowEvalPython nodes, serializing the text column across the
+    JVM↔Python boundary three times per batch. One projection → one
+    fused ArrowEvalPython → one Arrow transfer and one Python worker
+    chain per task."""
+    df = df.withColumns({
+        "_lid": langid_udf(F.col(text_col)),
+        "score_perplexity": perplexity_udf(F.col(text_col)),
+        "score_dup_ngram_frac": dup13_udf(F.col(text_col)),
+    })
+    return (df.withColumn("lang_pred", F.col("_lid.lang_pred"))
+            .withColumn("score_langid_conf", F.col("_lid.lang_conf"))
+            .drop("_lid"))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None = None,
@@ -79,9 +100,7 @@ class QualityPipeline:
             df = spread(df)
         df = with_token_columns(df)
         df = self.registry.with_scores(df)
-        df = with_langid(df)        # plugin rule → score_langid_conf
-        df = with_perplexity(df)    # plugin rule → score_perplexity
-        df = with_dup13(df)         # plugin rule → score_dup_ngram_frac
+        df = with_plugin_scores(df)  # ONE fused ArrowEvalPython stage
         df = self.registry.with_verdict(df)
         if self.scrub:
             df = with_scrub(df)

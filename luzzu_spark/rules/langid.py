@@ -16,8 +16,6 @@ produce identical outputs.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,10 +50,13 @@ _RET = StructType([StructField("lang_pred", StringType()),
 
 
 @pandas_udf(_RET)  # DataType object: no session needed at import time
-def langid_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    # prologue: per-worker one-time init (model load slot)
-    for texts in batches:
-        yield _score_batch(texts)
+def langid_udf(texts: pd.Series) -> pd.DataFrame:
+    # Plain Series→Series form (NOT Iterator-of-Series): scalar-iterator
+    # UDFs each get their own ArrowEvalPython node and cannot fuse, so
+    # chaining three of them shipped the text column across the
+    # JVM↔Python boundary three times per batch. The model-load slot
+    # moves to a lazy module global (one init per worker process).
+    return _score_batch(texts)
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -15,8 +15,6 @@ index into the (27,27,27) log-prob tensor — no Python per char.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -79,10 +77,12 @@ def ppl_py(text: str) -> float:
 
 
 @pandas_udf(DoubleType())
-def perplexity_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    _model()                                   # per-worker one-time init
-    for texts in batches:
-        yield texts.fillna("").map(ppl_py)
+def perplexity_udf(texts: pd.Series) -> pd.Series:
+    # Series→Series (not Iterator) so Spark fuses it with the other
+    # plugin-rule UDFs into one ArrowEvalPython node; _model() is a lazy
+    # per-worker global, so one-time init is preserved.
+    _model()
+    return texts.fillna("").map(ppl_py)
 
 
 def with_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -31,8 +31,6 @@ langid/perplexity plugin rules.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -87,9 +85,10 @@ def dup_frac_batch(texts: pd.Series, n: int = spec.NGRAM_N) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-def dup13_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for texts in batches:
-        yield dup_frac_batch(texts)
+def dup13_udf(texts: pd.Series) -> pd.Series:
+    # Series→Series so it fuses with langid/perplexity into one
+    # ArrowEvalPython node (iterator UDFs cannot fuse).
+    return dup_frac_batch(texts)
 
 
 def with_dup13(df: DataFrame, text_col: str = "text") -> DataFrame:

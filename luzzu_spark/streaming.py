@@ -1,0 +1,109 @@
+"""Structured Streaming variant — Luzzu's incremental assessment mode.
+
+Luzzu's processor is a bounded-queue stream over a dataset's quads
+(/root/reference/README.md:12; SURVEY.md §3.1) — single pass, memory
+O(metric state). The Spark recast uses Structured Streaming with
+watermarks for bounded state (a notion Luzzu never needed: its input is
+a finite file, ours is an unbounded crawl feed):
+
+- quality assessment itself is stateless per row → the SAME pipeline
+  transforms (rules, verdict, scrub) apply to a streaming DataFrame
+  unchanged; this module wires them to readStream/writeStream.
+- metric aggregates become windowed aggregations + watermark;
+- seen-URL dedup becomes dropDuplicatesWithinWatermark (state bounded
+  by the watermark horizon instead of growing forever).
+
+Every builder takes/returns DataFrames so batch tests can exercise the
+identical expressions; streaming tests run the real engine against a
+file source over the events/documents fixtures with an in-memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luzzu_spark.pipeline import QualityPipeline
+
+
+def read_page_stream(spark: SparkSession, path: str,
+                     schema, max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a page-table directory: each newly
+    landed file is one micro-batch increment (the crawl-feed shape).
+    maxFilesPerTrigger bounds per-batch work — at production scale this
+    is the ingest back-pressure knob."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def assess_stream(pages: DataFrame,
+                  pipeline: QualityPipeline | None = None) -> DataFrame:
+    """The full quality pipeline over a streaming DataFrame.
+
+    Works unchanged because every pipeline stage is a stateless
+    projection/filter (scores, UDFs, verdict, scrub) — no global agg
+    inside assess(). auto_spread is disabled: repartition-by-number is
+    not valid pre-aggregation in a stream, and micro-batch file splits
+    already set parallelism."""
+    pipe = pipeline or QualityPipeline(auto_spread=False)
+    pipe.auto_spread = False
+    return pipe.assess(pages)
+
+
+def windowed_verdict_counts(assessed: DataFrame, ts_col: str = "warc_ts",
+                            window: str = "10 minutes",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Streaming metric fold: keep/drop counts per tumbling window.
+
+    The watermark bounds state: windows older than the horizon are
+    finalized and evicted (late rows beyond it are dropped — a
+    correctness/latency trade Luzzu's finite single pass never faced)."""
+    return (assessed
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_docs", "n_keep"))
+
+
+def stream_dedup_urls(pages: DataFrame, ts_col: str = "warc_ts",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Seen-URL dedup with bounded state: keeps the first occurrence of
+    each url within the watermark horizon. The batch twin is
+    row_number()-over-url (queries.dedup_first_doc_per_source)."""
+    return (pages.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["url"]))
+
+
+def session_event_counts(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Session windows over the events stream (SURVEY.md §2.8): activity
+    sessions close after `gap` of silence per user.
+
+    ts arrives as TIMESTAMP_NTZ from the parquet fixture; watermarks
+    require TIMESTAMP, so cast first (UTC session tz → same instant)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window(F.col("ts"), gap).alias("s"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def run_to_memory(df: DataFrame, query_name: str,
+                  output_mode: str = "append") -> "object":
+    """Drain a stream into an in-memory table (tests/demos): returns the
+    StreamingQuery; caller awaits termination/processes then reads
+    spark.table(query_name)."""
+    return (df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start())

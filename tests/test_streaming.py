@@ -1,0 +1,111 @@
+"""Structured Streaming variant: the stream results must equal their
+batch twins (same expressions, same fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luzzu_spark import streaming
+from luzzu_spark.fixtures import as_webpages, load_table
+from luzzu_spark.pipeline import QualityPipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def page_dir(spark, tmp_path_factory):
+    """Multi-file page-table dir → several micro-batches."""
+    path = str(tmp_path_factory.mktemp("stream") / "pages")
+    docs = load_table(spark, SF, "documents")
+    as_webpages(docs, inject_pii=True).repartition(4) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(q):
+    q.awaitTermination(300)
+
+
+def test_stream_assess_matches_batch(spark, page_dir):
+    batch_pages = spark.read.parquet(page_dir)
+    schema = batch_pages.schema
+    stream = streaming.read_page_stream(spark, page_dir, schema,
+                                        max_files_per_trigger=2)
+    assessed = streaming.assess_stream(stream) \
+        .select("url", "keep", "text_scrubbed")
+    _drain(streaming.run_to_memory(assessed, "stream_assessed"))
+    got = spark.table("stream_assessed")
+
+    want = QualityPipeline(auto_spread=False).assess(batch_pages) \
+        .select("url", "keep", "text_scrubbed")
+    assert got.count() == want.count() == 500
+    # exact per-row equality, both directions
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_windowed_counts(spark, page_dir):
+    batch_pages = spark.read.parquet(page_dir)
+    schema = batch_pages.schema
+    stream = streaming.read_page_stream(spark, page_dir, schema)
+    counts = streaming.windowed_verdict_counts(
+        streaming.assess_stream(stream))
+    # complete mode: append+watermark would hold back windows inside
+    # the final watermark horizon at end-of-input (availableNow drains)
+    _drain(streaming.run_to_memory(counts, "stream_counts",
+                                   output_mode="complete"))
+    got = spark.table("stream_counts")
+    # batch twin over the same windows
+    assessed = QualityPipeline(auto_spread=False).assess(batch_pages)
+    want = (assessed.groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_docs", "n_keep"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert got.agg(F.sum("n_docs")).collect()[0][0] == 500
+
+
+def test_stream_dedup_bounded(spark, page_dir, tmp_path):
+    """Duplicate urls across micro-batches are dropped (first wins)."""
+    dup_dir = str(tmp_path / "dup_pages")
+    pages = spark.read.parquet(page_dir)
+    pages.write.mode("overwrite").parquet(dup_dir)
+    pages.write.mode("append").parquet(dup_dir)  # every url twice
+    schema = pages.schema
+    stream = streaming.read_page_stream(spark, dup_dir, schema,
+                                        max_files_per_trigger=2)
+    deduped = streaming.stream_dedup_urls(stream).select("url")
+    _drain(streaming.run_to_memory(deduped, "stream_dedup"))
+    got = spark.table("stream_dedup")
+    assert got.count() == 500
+    assert got.distinct().count() == 500
+
+
+def test_stream_session_windows(spark):
+    events = load_table(spark, SF, "events")
+    schema = events.schema
+    import tempfile
+    d = tempfile.mkdtemp(prefix="ev_stream_")
+    events.repartition(3).write.mode("overwrite").parquet(d)
+    stream = streaming.read_page_stream(spark, d, schema)
+    sessions = streaming.session_event_counts(stream)
+    _drain(streaming.run_to_memory(sessions, "stream_sessions",
+                                   output_mode="complete"))
+    got = spark.table("stream_sessions")
+    # batch twin (same NTZ→TIMESTAMP cast the streaming helper applies)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = (events.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("s"),
+        F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "n_events", "sum_value"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert got.agg(F.sum("n_events")).collect()[0][0] == events.count()
