@@ -1,0 +1,154 @@
+"""Multimodal columns — binary payloads with typed metadata.
+
+Web pages carry more than text: the input schema's `html: binary`
+column (BASELINE.json:15) generalizes to image/audio/video payloads in
+a training-data pipeline. This module makes the SPARK-SIDE plumbing
+real — schema, partition discipline, Arrow batch shapes, mapInPandas
+signatures — while the actual codec calls are stubbed: this container
+ships no image/audio libraries, so each decoder either raises
+NotImplementedError (strict=True) or produces a deterministic fake
+derived from the payload bytes. Swapping in PIL/ffmpeg is a
+one-function change; nothing in the plan shape moves.
+
+Design rules enforced here (the part that matters at 100 TB):
+- binary columns NEVER pass through Python row-at-a-time — always
+  mapInPandas over Arrow record batches;
+- decode stages project to (key, payload) first so Arrow traffic
+  excludes every other column, then join features back by key —
+  payload bytes cross the boundary once;
+- per-batch memory is bounded by maxRecordsPerBatch × payload size;
+  oversized payloads are length-guarded before decode;
+- features come back as fixed-width arrays/structs (Arrow-friendly),
+  not opaque Python objects;
+- strictness/codec config is captured in the mapInPandas CLOSURE (a
+  module global would silently reset to its default inside worker
+  processes, which import the module fresh).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_DIM = 8
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024  # refuse absurd payloads early
+
+IMAGE_META_SCHEMA = ("url string, width int, height int, channels int, "
+                     "format string")
+IMAGE_FEATURE_SCHEMA = "url string, ok boolean, feature array<float>"
+FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_hash bigint"
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """Codec slot. Real deployment: PIL.Image.open(io.BytesIO(payload)).
+
+    Deterministic fake: dimensions derived from payload bytes so tests
+    are reproducible and schema/plumbing are exercised for real."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    return (64 + h % 512, 64 + (h >> 16) % 512, 3, "png-fake")
+
+
+def _meta_fn(strict: bool) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if len(payload) > MAX_PAYLOAD_BYTES:
+                    metas.append((url, -1, -1, -1, "oversize"))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "image codec not available; install PIL and "
+                        "replace _decode_image_stub")
+                metas.append((url, *_decode_image_stub(payload)))
+            yield pd.DataFrame(metas, columns=[
+                "url", "width", "height", "channels", "format"])
+    return fn
+
+
+def _feature_fn(strict: bool) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if not payload or len(payload) > MAX_PAYLOAD_BYTES:
+                    rows.append((url, False, [0.0] * IMAGE_FEATURE_DIM))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "featurizer not available; plug a real model "
+                        "forward pass here")
+                # fake featurizer: byte-histogram mass per 32-value
+                # bucket — numpy-vectorized, deterministic
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 5,
+                                   minlength=IMAGE_FEATURE_DIM)
+                feat = (hist / max(arr.size, 1)).astype(np.float32)
+                rows.append((url, True, feat.tolist()))
+            yield pd.DataFrame(rows, columns=["url", "ok", "feature"])
+    return fn
+
+
+def _frames_fn(n_frames: int, strict: bool) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if strict:
+                    raise NotImplementedError(
+                        "video codec not available; plug ffmpeg here")
+                if not payload:
+                    continue
+                stride = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * stride:(i + 1) * stride]
+                    if not chunk:
+                        break
+                    hval = int.from_bytes(chunk[:8].ljust(8, b"\0"),
+                                          "little", signed=True)
+                    rows.append((url, i, hval))
+            yield pd.DataFrame(rows, columns=[
+                "url", "frame_idx", "frame_hash"])
+    return fn
+
+
+def _payload_projection(df: DataFrame, payload_col: str,
+                        key_col: str = "url") -> DataFrame:
+    """Minimal (key, payload) projection — the ONLY columns that cross
+    the Arrow boundary for decode stages (column pruning survives the
+    mapInPandas barrier only if we select first)."""
+    return df.select(F.col(key_col).alias("url"),
+                     F.col(payload_col).alias("payload"))
+
+
+def with_image_metadata(df: DataFrame, payload_col: str = "html",
+                        key_col: str = "url",
+                        strict: bool = False) -> DataFrame:
+    meta = (_payload_projection(df, payload_col, key_col)
+            .mapInPandas(_meta_fn(strict), IMAGE_META_SCHEMA))
+    return df.join(meta, df[key_col] == meta["url"], "left") \
+        .drop(meta["url"])
+
+
+def image_features(df: DataFrame, payload_col: str = "html",
+                   key_col: str = "url",
+                   strict: bool = False) -> DataFrame:
+    """(url, ok, feature: array<float>) — feeds the similarity module's
+    ANN path directly (same array<float> contract as `embeddings`)."""
+    return (_payload_projection(df, payload_col, key_col)
+            .mapInPandas(_feature_fn(strict), IMAGE_FEATURE_SCHEMA))
+
+
+def video_frame_samples(df: DataFrame, payload_col: str = "html",
+                        key_col: str = "url", n_frames: int = 4,
+                        strict: bool = False) -> DataFrame:
+    return (_payload_projection(df, payload_col, key_col)
+            .mapInPandas(_frames_fn(n_frames, strict),
+                         FRAME_SAMPLE_SCHEMA))

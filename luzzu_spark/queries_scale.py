@@ -1,0 +1,167 @@
+"""Scale-technique queries: salting, approx sketches, cube facets,
+host-partitioned ranking — SURVEY.md §2.4/§2.5/§2.6 completions.
+
+The salted variants are oracle-checked against the PLAIN aggregation
+SQL: two-phase salted aggregation must be result-identical to direct
+groupBy — that equality IS the correctness property of the skew
+technique (BASELINE.json:6 "salted repartitioning on url-host hash").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import load_table, spread
+from luzzu_spark.queries import register
+
+SALT_BUCKETS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+@register("agg_salted_by_source", oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)              AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)          AS sum_chars,
+       CAST(MAX(n_chars) AS BIGINT)          AS max_chars
+FROM documents GROUP BY source ORDER BY source
+""")
+def agg_salted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy (source, salt) → partial
+    aggregates → groupBy(source) final merge.
+
+    At web scale a mega-host would hot-spot one reducer; the salt splits
+    it across SALT_BUCKETS reducers and the second (tiny) aggregation
+    merges the partials. Oracle = the UNsalted SQL — identical results
+    prove the technique loses nothing."""
+    d = _docs(spark, sf_dir)
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS))
+    partial = (d.groupBy("source", salt.alias("_salt"))
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum("n_chars").alias("ps"),
+                    F.max("n_chars").alias("pm")))
+    return (partial.groupBy("source")
+            .agg(F.sum("pn").cast("long").alias("n_docs"),
+                 F.sum("ps").cast("long").alias("sum_chars"),
+                 F.max("pm").cast("long").alias("max_chars"))
+            .orderBy("source"))
+
+
+@register("join_salted_docs_dims")
+def join_salted_docs_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (rows-only: plan-shape op). The skewed side is
+    exploded over salt replicas of the (broadcastable) dim side — the
+    classic salted-join for when AQE's skew split can't apply (e.g.
+    pre-UDF repartition). Result equals the plain join; checked by the
+    companion agg_salted_by_source oracle pattern."""
+    d = _docs(spark, sf_dir)
+    dims = (d.groupBy("source")
+            .agg(F.avg("n_chars").alias("src_avg_chars")))
+    salted_dims = dims.crossJoin(
+        spark.range(SALT_BUCKETS).select(F.col("id").alias("_salt")))
+    left = d.withColumn("_salt",
+                        F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS)))
+    return (left.join(F.broadcast(salted_dims), ["source", "_salt"])
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("src_avg_chars"), 4).alias("avg_src_chars"))
+            .orderBy("lang"))
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch path (rows-only: approx values are engine-specific;
+    the exact twin agg_distinct_stats is the oracle-checked op). At
+    10^12 docs, exact distinct-host counting is a full shuffle of every
+    key — the sketch is mergeable per partition, rsd-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.approx_count_distinct("o_orderstatus").alias("approx_statuses"))
+
+
+@register("agg_cube_lang_source", oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+""")
+def agg_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE facets (daQ Category×Dimension grid recast): all four
+    grouping sets in one pass (Expand operator, single shuffle)."""
+    d = _docs(spark, sf_dir)
+    return (d.cube("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy(F.asc_nulls_first("lang"),
+                     F.asc_nulls_first("source")))
+
+
+@register("window_top2_docs_per_source", oracle="""
+SELECT source, doc_id, n_chars, rnk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= 2 ORDER BY source, rnk
+""")
+def window_top2_docs_per_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-host top-k retrieval (README.md:15 ranking recast on the
+    corpus itself). Deterministic tie-break on doc_id."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (d.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= 2)
+            .select("source", "doc_id", "n_chars", "rnk")
+            .orderBy("source", "rnk"))
+
+
+@register("supplier_revenue_by_nation", oracle="""
+SELECT n.n_name,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""")
+def supplier_revenue_by_nation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim star: supplier+nation broadcast, one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+            .groupBy("n_name")
+            .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("n_name"))
+
+
+@register("part_type_price_stats", oracle="""
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(AVG(p_retailprice), 6) AS DOUBLE) AS avg_price,
+       CAST(ROUND(MIN(p_retailprice), 2) AS DOUBLE) AS min_price,
+       CAST(ROUND(MAX(p_retailprice), 2) AS DOUBLE) AS max_price
+FROM part GROUP BY p_type ORDER BY p_type
+""")
+def part_type_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (p.groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+                 F.round(F.min("p_retailprice"), 2).alias("min_price"),
+                 F.round(F.max("p_retailprice"), 2).alias("max_price"))
+            .orderBy("p_type"))

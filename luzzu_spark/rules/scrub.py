@@ -54,13 +54,26 @@ ALL_STEPS: tuple[tuple[str, str, str], ...] = SCRUB_CHAIN + (
 )
 
 
+# one alternation of every step's pattern: a single probe pass decides
+# whether the replace chain needs to run at all
+COMBINED_PROBE = "|".join(f"(?:{pat})" for _name, pat, _ in ALL_STEPS)
+
+
 def scrub_expr(col: Column | str = "text") -> Column:
-    """The full scrub chain as one nested Catalyst expression."""
+    """The full scrub chain as one nested Catalyst expression.
+
+    Guarded by a single combined-probe rlike: rows with no PII/toxicity
+    (the common case on real corpora) pay ONE regex pass instead of
+    five replace passes; matching rows pay probe + chain. Equivalence:
+    the chain is the identity exactly when no pattern matches, which is
+    exactly when the probe is false — so output, determinism, and
+    idempotence are unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))   # null doc scrubs to "" (matches oracle)
+    chained = c
     for _name, pat, repl in ALL_STEPS:
-        c = F.regexp_replace(c, pat, repl)
-    return c
+        chained = F.regexp_replace(chained, pat, repl)
+    return F.when(c.rlike(COMBINED_PROBE), chained).otherwise(c)
 
 
 def scrub_flags(col: Column | str = "text") -> dict[str, Column]:
@@ -70,9 +83,15 @@ def scrub_flags(col: Column | str = "text") -> dict[str, Column]:
 
 
 def with_scrub(df: DataFrame, text_col: str = "text",
-               out_col: str = "text_scrubbed") -> DataFrame:
-    flags = scrub_flags(text_col)
-    return df.withColumns({out_col: scrub_expr(text_col), **flags})
+               out_col: str = "text_scrubbed",
+               flags: bool = False) -> DataFrame:
+    """flags=True additionally attaches per-step scrub_<name> booleans
+    (5 extra regex passes/row — reporting runs only; the hot filter path
+    leaves them off)."""
+    cols = {out_col: scrub_expr(text_col)}
+    if flags:
+        cols.update(scrub_flags(text_col))
+    return df.withColumns(cols)
 
 
 # -- plain-Python twin (used by the pandas oracle and property tests) -----
