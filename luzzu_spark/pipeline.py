@@ -139,6 +139,33 @@ class QualityPipeline:
             writer = writer.partitionBy("lang")
         writer.parquet(path)
 
+    def write_reports(self, assessed: DataFrame, path: str,
+                      run_id: str) -> None:
+        """Quality-metadata sinks — the daQ graph + QPRO report persisted
+        queryably (/root/reference/README.md:8-9 recast): under `path`,
+        partitioned by run_id so successive assessment runs append
+        side-by-side and prune on read:
+
+          observations/  per-metric daQ observations (category →
+                         dimension → metric → value stats)
+          lineage/       per-partition keep/drop counts + id ranges
+          problems/      per-(doc, fired rule) problem rows
+
+        One persisted assessment feeds all three (never recompute the
+        UDF stage per sink)."""
+        from luzzu_spark.metrics import observations, partition_lineage
+        assessed = assessed.persist()
+        try:
+            for name, df in (
+                    ("observations", observations(assessed)),
+                    ("lineage", partition_lineage(assessed)),
+                    ("problems", self.problem_report(assessed))):
+                (df.withColumn("run_id", F.lit(run_id))
+                   .write.mode("append").partitionBy("run_id")
+                   .parquet(f"{path}/{name}"))
+        finally:
+            assessed.unpersist()
+
 
 def keep_expr_name() -> str:
     return "keep"

@@ -165,3 +165,80 @@ def part_type_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("p_retailprice"), 2).alias("min_price"),
                  F.round(F.max("p_retailprice"), 2).alias("max_price"))
             .orderBy("p_type"))
+
+
+@register("set_union_lang_counts", oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT lang FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT lang FROM documents WHERE n_chars > 300)
+GROUP BY lang ORDER BY lang
+""")
+def set_union_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName (SURVEY.md §2.7): shard-merge op. Overlap rows count
+    twice (UNION ALL semantics — merging run outputs, not dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("lang")
+    big = d.where(F.col("n_chars") > 300).select("lang")
+    return (en.unionByName(big).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("lang"))
+
+
+@register("grouped_source_stats", oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(AVG(n_chars), 6) AS DOUBLE) AS mean_chars,
+       CAST(ROUND(STDDEV_SAMP(n_chars), 6) AS DOUBLE) AS sd_chars
+FROM documents GROUP BY source ORDER BY source
+""")
+def grouped_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (SURVEY.md §2.9): per-source stats via
+    applyInPandas — the escape hatch for per-group custom folds. The
+    oracle is plain SQL, proving the grouped-map path computes exactly
+    what the declarative agg would (pandas ddof=1 == STDDEV_SAMP).
+
+    Scale: one shuffle on the group key; each group must fit one
+    worker's memory — applyInPandas is reserved for per-host folds
+    (bounded by per-host doc caps), never whole-corpus groups."""
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "mean_chars": [round(float(pdf["n_chars"].mean()), 6)],
+            "sd_chars": [round(float(pdf["n_chars"].std(ddof=1)), 6)],
+        })
+
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("source", "n_chars")
+            .groupBy("source")
+            .applyInPandas(stats, "source string, n_docs bigint, "
+                                  "mean_chars double, sd_chars double")
+            .orderBy("source"))
+
+
+@register("text_line_stats", oracle="""
+SELECT lang,
+       CAST(SUM(len(string_split(text, chr(10)))) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN len(list_filter(string_split(text, chr(10)),
+              x -> trim(x) <> '' AND NOT regexp_matches(trim(x),
+                   '[.!?"]$'))) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_all_terminal
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 terminal-punctuation line rule (SURVEY.md §2.3): line counts +
+    docs whose every non-blank line ends in terminal punctuation.
+    Higher-order filter/forall over split lines."""
+    d = _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    bad = F.filter(lines, lambda x: (F.trim(x) != "")
+                   & ~F.trim(x).rlike('[.!?"]$'))
+    return (d.select("lang", F.size(lines).alias("nl"),
+                     (F.size(bad) == 0).cast("long").alias("all_term"))
+            .groupBy("lang")
+            .agg(F.sum("nl").cast("long").alias("n_lines"),
+                 F.sum("all_term").cast("long")
+                 .alias("n_docs_all_terminal"))
+            .orderBy("lang"))

@@ -69,8 +69,11 @@ TOKEN_HELPER_COLS = ("tokens", "n_tokens", "n_chars")
 # -- per-rule score expressions (read the derived columns) -----------------
 
 def mean_word_len() -> Column:
-    total = F.aggregate("tokens", F.lit(0).cast("long"),
-                        lambda acc, t: acc + F.length(t))
+    # sum(len(token)) == count of non-whitespace chars (tokens ARE the
+    # maximal non-whitespace runs) — one codegen'd regex pass instead of
+    # an interpreted per-token aggregate fold
+    total = F.length(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"\s+", ""))
     return F.try_divide(total.cast("double"), F.col("n_tokens"))
 
 
@@ -85,9 +88,19 @@ def symbol_ratio(text_col: str = "text") -> Column:
                         F.col("n_tokens"))
 
 
+STOPWORD_TOKEN_RE = (r"(?:^|\s)(?:" + "|".join(sorted(STOPWORDS))
+                     + r")(?=\s|$)")
+
+
 def stopword_frac() -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    # whole-token stopword occurrences counted in ONE codegen'd regex
+    # pass: (^|\s)(alt...)(?=\s|$) matches exactly the tokens equal to a
+    # stopword (tokens are whitespace-delimited; Java regex backtracks
+    # through the alternation, so prefix words like a/an both match).
+    # The interpreted form — filter(tokens, t -> array_contains(SW, t))
+    # — cost O(tokens × |SW|) per row with boxing.
+    hits = F.regexp_count(F.coalesce(F.col("text"), F.lit("")),
+                          F.lit(STOPWORD_TOKEN_RE))
     return F.try_divide(hits, F.col("n_tokens"))
 
 
