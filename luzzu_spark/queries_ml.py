@@ -190,3 +190,13 @@ def multimodal_binary_stats(spark: SparkSession,
     return pages.agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.sum(F.length("html").cast("long")).alias("total_html_bytes"))
+
+
+@register("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking + exact-cosine
+    verify (rows-only: bucket recall is implementation-defined; the
+    exact-pair correctness twin is tested in
+    tests/test_dedup_similarity.py against a brute-force oracle)."""
+    from luzzu_spark.similarity import cosine_near_dup_pairs
+    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)

@@ -106,3 +106,29 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= k)
             .orderBy("query_id", "rnk"))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+
+    Scale path: LSH-bucket self-join as the blocking stage (near-dup
+    vectors land in the same hyperplane-sign bucket with high
+    probability), exact cosine as the verify stage — the same
+    block-then-verify shape as MinHash→Jaccard in dedup.py. The
+    self-join is per bucket (corpus/2^planes rows), never corpus².
+    Recall < 1 by design (sign-LSH misses some near-pairs across a
+    plane); raise `planes` bands or multi-probe for higher recall."""
+    b = embeddings.withColumn("bucket", hyperplane_bucket(vec_col))
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("vec_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vec_b"), "bucket")
+    return (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine_expr(F.col("vec_a"),
+                                           F.col("vec_b")))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+            .orderBy("id_a", "id_b"))

@@ -90,3 +90,29 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in bf
         assert abs(bf[key] - r["sim"]) < 1e-9
+
+
+def test_cosine_near_dup_pairs_precision(spark):
+    """Every pair the LSH-blocked near-dup op emits must truly have
+    sim >= threshold (precision 1.0 — blocking may lose recall, never
+    correctness); verified against numpy brute force."""
+    import numpy as np
+    from luzzu_spark.fixtures import load_table
+    from luzzu_spark.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = cosine_near_dup_pairs(emb, threshold=0.9).collect()
+
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {i: np.asarray(v, dtype=np.float64)
+            for i, v in pdf["embedding"].items()}
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for r in got:
+        assert r.id_a < r.id_b
+        true_sim = cos(vecs[r.id_a], vecs[r.id_b])
+        assert true_sim >= 0.9 - 1e-9, (r.id_a, r.id_b, true_sim)
+        assert abs(true_sim - r.sim) < 1e-4

@@ -1,0 +1,129 @@
+"""Physical-plan shape assertions (.explain contracts).
+
+Correct results are necessary, not sufficient — at 100 TB the PLAN is
+the product. These tests pin the plan properties the scale design
+depends on: filter/column pushdown into the parquet scan, broadcast
+joins for dims, ONE fused ArrowEvalPython stage, map-side partial
+aggregation, and no shuffle for bucket-local reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import as_webpages, load_table
+from luzzu_spark.pipeline import QualityPipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    d = load_table(spark, SF, "documents").where(F.col("lang") == "en") \
+        .select("doc_id")
+    plan = _plan(d)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan \
+        or "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    d = load_table(spark, SF, "lineitem") \
+        .groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(d)
+    # ReadSchema must carry ONLY the two referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" \
+        in plan.replace("\n", ""), plan
+
+
+def test_dim_join_is_broadcast(spark):
+    n = load_table(spark, SF, "nation")
+    r = load_table(spark, SF, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pipeline_single_arrow_stage(spark):
+    pages = as_webpages(load_table(spark, SF, "documents"))
+    a = QualityPipeline().assess(pages)
+    plan = _plan(a)
+    assert plan.count("ArrowEvalPython") == 1, (
+        "plugin-rule UDFs must fuse into ONE ArrowEvalPython stage "
+        "(text crosses the JVM/Python boundary once)")
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python"
+
+
+def test_agg_is_partial_then_final(spark):
+    li = load_table(spark, SF, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(agg)
+    assert "partial_sum" in plan, plan  # map-side combine before shuffle
+
+
+def test_topk_uses_take_ordered(spark):
+    p = load_table(spark, SF, "part")
+    q = p.select("p_partkey", "p_retailprice") \
+        .orderBy(F.desc("p_retailprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_semi_join_stays_semi(spark):
+    c = load_table(spark, SF, "customer")
+    o = load_table(spark, SF, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    assert "LeftSemi" in _plan(j)
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed corpus sink → co-located join without Exchange.
+
+    The verdict/scrubbed sink buckets by url hash (SURVEY.md §2.1);
+    joining two tables bucketed the same way (e.g. today's verdicts vs
+    yesterday's seen-set) must not shuffle either side."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    name_a, name_b = "bt_a", "bt_b"
+    for name in (name_a, name_b):
+        (docs.write.mode("overwrite")
+         .option("path", str(tmp_path / name))
+         .bucketBy(8, "doc_id").sortBy("doc_id")
+         .saveAsTable(name))
+    a, b = spark.table(name_a), spark.table(name_b)
+    # fixture tables are tiny, so AQE would pick broadcast (which also
+    # disables bucket scans); force the sort-merge path the bucketing
+    # exists for — at corpus scale neither side is broadcastable
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "doc_id")
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucket-aligned join must not shuffle either side:\n" + plan)
+    assert "Bucketed: true" in plan, plan
+
+
+def test_scrub_filter_not_recomputed_in_scan(spark):
+    """The dedup explode path must not duplicate the shingle expression
+    into a pushed-down filter (the regression this repo hit: a
+    size(shingles)>0 pre-filter re-evaluated tokenize→hash→shingle 3×
+    below the projection)."""
+    from luzzu_spark import dedup
+    docs = load_table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    plan = _plan(sigs)
+    # the tokenize expression (split) appears in projections only —
+    # never inside a Filter condition
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition") and "split(" in line:
+            raise AssertionError(
+                "shingle pipeline duplicated into a Filter:\n" + line)
