@@ -92,27 +92,46 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
         assert abs(bf[key] - r["sim"]) < 1e-9
 
 
-def test_cosine_near_dup_pairs_precision(spark):
-    """Every pair the LSH-blocked near-dup op emits must truly have
-    sim >= threshold (precision 1.0 — blocking may lose recall, never
-    correctness); verified against numpy brute force."""
+def test_cosine_near_dup_pairs_planted(spark):
+    """The fixture's vectors are near-orthogonal (max pairwise sim
+    ≈ 0.48), so near-dups are PLANTED: 20 vectors get a slightly
+    perturbed twin (sim ≈ 0.9999). Contract: precision 1.0 (every
+    emitted pair truly ≥ threshold, brute-force-verified) and the
+    sign-LSH blocking recovers most planted twins (recall < 1 by
+    design — a twin straddling a hyperplane lands in another bucket).
+    Fully deterministic: fixed perturbation, no RNG."""
     import numpy as np
     from luzzu_spark.fixtures import load_table
     from luzzu_spark.similarity import cosine_near_dup_pairs
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    got = cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    base = emb.toPandas()
+    planted = base.head(20).copy()
+    planted["vec_id"] = planted["vec_id"] + 100000
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: [float(v[0]) * 1.001 + 1e-4]
+        + [float(x) for x in v[1:]])
+    both = spark.createDataFrame(
+        __import__("pandas").concat([base, planted]),
+        schema=emb.schema)
 
-    pdf = emb.toPandas().set_index("vec_id")
-    vecs = {i: np.asarray(v, dtype=np.float64)
-            for i, v in pdf["embedding"].items()}
+    got = cosine_near_dup_pairs(both, threshold=0.99).collect()
+
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+            for r in both.collect()}
 
     def cos(a, b):
         return float(np.dot(a, b)
                      / (np.linalg.norm(a) * np.linalg.norm(b)))
 
-    for r in got:
+    for r in got:  # precision: every emitted pair is a true near-dup
         assert r.id_a < r.id_b
         true_sim = cos(vecs[r.id_a], vecs[r.id_b])
-        assert true_sim >= 0.9 - 1e-9, (r.id_a, r.id_b, true_sim)
+        assert true_sim >= 0.99 - 1e-9, (r.id_a, r.id_b, true_sim)
         assert abs(true_sim - r.sim) < 1e-4
+
+    found = {(r.id_a, r.id_b) for r in got}
+    planted_pairs = {(int(i), int(i) + 100000)
+                     for i in base.head(20)["vec_id"]}
+    recall = len(found & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.5, (recall, sorted(planted_pairs - found))
