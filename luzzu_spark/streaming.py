@@ -97,6 +97,40 @@ def session_event_counts(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def stateful_user_totals(events: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + value sum, emitted each micro-batch.
+
+    This is Luzzu's incremental metric fold made explicit — per-key
+    state carries (n, sum) across batches exactly like a metric
+    object's accumulators across `compute(quad)` calls, and each
+    micro-batch emits the updated `metricValue()`. State is bounded by
+    the key cardinality (per-user), not the stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(s, 2)]})
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType="user_id bigint, n_events bigint, "
+                                 "sum_value double",
+                stateStructType="n bigint, s double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(df: DataFrame, query_name: str,
                   output_mode: str = "append") -> "object":
     """Drain a stream into an in-memory table (tests/demos): returns the

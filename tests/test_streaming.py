@@ -109,3 +109,25 @@ def test_stream_session_windows(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert got.agg(F.sum("n_events")).collect()[0][0] == events.count()
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining every
+    micro-batch, the LAST update per user equals the batch aggregate."""
+    events = load_table(spark, SF, "events")
+    d = str(tmp_path / "ev_state")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    stream = streaming.read_page_stream(spark, d, events.schema,
+                                        max_files_per_trigger=1)
+    totals = streaming.stateful_user_totals(stream)
+    _drain(streaming.run_to_memory(totals, "stream_totals",
+                                   output_mode="update"))
+    got = spark.table("stream_totals")
+    # update mode appends one row per (user, batch); the running max
+    # n_events per user is the final state
+    final = (got.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events")))
+    want = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
