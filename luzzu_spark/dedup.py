@@ -185,3 +185,20 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
             .withColumn("jaccard",
                         F.try_divide(inter.cast("double"), union))
             .select("id_a", "id_b", "jaccard"))
+
+
+def near_dup_survivors(docs: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """The corpus after near-dup removal: for every LSH-confirmed pair,
+    the higher id drops (lowest-id-wins cluster head approximation).
+
+    One anti-join against the distinct id_b side — transitive-closure
+    clustering would need iterative connected components; dropping every
+    doc that loses at least one pairwise comparison is the standard
+    single-pass approximation (over-drops only inside chains a<b<c where
+    (a,c) was never a candidate — harmless for training-data pruning).
+    Scale: pairs are bounded by LSH bucket sizes; the anti-join
+    broadcasts when the loser set is small, else shuffles on id."""
+    losers = (minhash_dedup_pairs(docs, threshold, id_col)
+              .select(F.col("id_b").alias(id_col)).distinct())
+    return docs.join(losers, id_col, "left_anti")

@@ -135,3 +135,20 @@ def test_cosine_near_dup_pairs_planted(spark):
                      for i in base.head(20)["vec_id"]}
     recall = len(found & planted_pairs) / len(planted_pairs)
     assert recall >= 0.5, (recall, sorted(planted_pairs - found))
+
+
+def test_near_dup_survivors(spark):
+    """Planted exact-duplicate texts must be pruned to one survivor
+    (the lowest doc_id); unique docs all survive."""
+    from luzzu_spark.fixtures import load_table
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    twins = (base.limit(10)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    docs = base.unionByName(twins)
+    survivors = dedup.near_dup_survivors(docs, threshold=0.9)
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    twin_ids = {r.doc_id for r in twins.select("doc_id").collect()}
+    assert not (ids & twin_ids), "all higher-id exact twins must drop"
+    # originals of the twins survive
+    orig_ids = {i - 100000 for i in twin_ids}
+    assert orig_ids <= ids
