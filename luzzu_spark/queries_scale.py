@@ -242,3 +242,34 @@ def text_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("all_term").cast("long")
                  .alias("n_docs_all_terminal"))
             .orderBy("lang"))
+
+
+@register("events_session_counts", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) > 1800 OR LAG(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id ORDER BY user_id
+""")
+def events_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag + flag-sum) — the
+    oracle-checkable twin of the streaming session_window operator
+    (streaming.session_event_counts). One shuffle on user_id; the sort
+    within each partition feeds both the lag and the count."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"),
+                                              F.asc("event_id"))
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    new_session = (gap.isNull() | (gap > 1800)).cast("long")
+    return (e.withColumn("ns", new_session)
+            .groupBy("user_id")
+            .agg(F.sum("ns").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
