@@ -27,9 +27,6 @@ from pyspark.sql import functions as F
 from luzzu_spark.rules import spec
 from luzzu_spark.rules.heuristics import (TOKEN_HELPER_COLS,
                                           with_token_columns)
-from luzzu_spark.rules.langid import langid_udf
-from luzzu_spark.rules.perplexity import perplexity_udf
-from luzzu_spark.rules.repetition import dup13_udf
 from luzzu_spark.rules.registry import RuleRegistry, default_registry
 from luzzu_spark.rules.scrub import with_scrub
 
@@ -42,23 +39,23 @@ def host_expr(url_col: str = "url") -> F.Column:
 
 def with_plugin_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all three plugin-rule scores (langid, perplexity, 13-gram
-    repetition) in ONE withColumns projection.
+    repetition) via ONE bundle UDF call.
 
     Chaining the per-rule helpers (with_langid → with_perplexity → …)
     puts a struct-extraction projection between the UDFs, which blocks
     ExtractPythonUDFs from merging them — the plan then carries THREE
     ArrowEvalPython nodes, serializing the text column across the
-    JVM↔Python boundary three times per batch. One projection → one
-    fused ArrowEvalPython → one Arrow transfer and one Python worker
-    chain per task."""
-    df = df.withColumns({
-        "_lid": langid_udf(F.col(text_col)),
-        "score_perplexity": perplexity_udf(F.col(text_col)),
-        "score_dup_ngram_frac": dup13_udf(F.col(text_col)),
-    })
-    return (df.withColumn("lang_pred", F.col("_lid.lang_pred"))
-            .withColumn("score_langid_conf", F.col("_lid.lang_conf"))
-            .drop("_lid"))
+    JVM↔Python boundary three times per batch. The bundle goes further
+    than three fused-but-separate UDFs: one Arrow transfer of text AND
+    one shared tokenization feeding langid + repetition inside Python
+    (rules/plugins.py). Values are identical to the standalone UDFs."""
+    from luzzu_spark.rules.plugins import plugin_bundle_udf
+    df = df.withColumn("_pb", plugin_bundle_udf(F.col(text_col)))
+    return (df.withColumn("lang_pred", F.col("_pb.lang_pred"))
+            .withColumn("score_langid_conf", F.col("_pb.lang_conf"))
+            .withColumn("score_perplexity", F.col("_pb.ppl"))
+            .withColumn("score_dup_ngram_frac", F.col("_pb.dup13"))
+            .drop("_pb"))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None = None,

@@ -50,9 +50,11 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def dup_frac_batch(texts: pd.Series, n: int = spec.NGRAM_N) -> pd.Series:
+def dup_frac_batch(texts: pd.Series, n: int = spec.NGRAM_N,
+                   token_lists: pd.Series | None = None) -> pd.Series:
     """Duplicate-13-gram fraction per doc, one vectorized pass."""
-    token_lists = texts.fillna("").str.split()
+    if token_lists is None:
+        token_lists = texts.fillna("").str.split()
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     n_docs = len(texts)
     out = np.zeros(n_docs, dtype=np.float64)
