@@ -273,3 +273,45 @@ def events_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("ns").cast("long").alias("n_sessions"),
                  F.count(F.lit(1)).alias("n_events"))
             .orderBy("user_id"))
+
+
+@register("window_range_time_sum", oracle="""
+SELECT event_id,
+       CAST(ROUND(SUM(value) OVER (PARTITION BY user_id
+             ORDER BY EPOCH(ts)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS sum_10min
+FROM events ORDER BY event_id
+""")
+def window_range_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (SURVEY.md §2.6): trailing-10-minute
+    value sum per user. RANGE frames include peer rows (same ts) in
+    both engines, so no tie-break column is needed — unlike ROWS
+    frames, which would be order-sensitive."""
+    from pyspark.sql import Window as W
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-600, 0))
+    return (e.select("event_id",
+                     F.round(F.sum("value").over(w), 2)
+                     .alias("sum_10min"))
+            .orderBy("event_id"))
+
+
+@register("docs_chars_histogram", oracle="""
+SELECT LEAST(19, GREATEST(0,
+         CAST(FLOOR(n_chars / 30.0) AS INTEGER))) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 ORDER BY bucket
+""")
+def docs_chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width score histogram via floor arithmetic (the daQ
+    score-histogram op, README.md:8 recast) — portable to any SQL
+    engine, one narrow groupBy on a small int key."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(19), F.greatest(F.lit(0), F.floor(
+        F.col("n_chars") / 30.0).cast("int")))
+    return (d.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))

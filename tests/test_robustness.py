@@ -1,0 +1,93 @@
+"""Adversarial/robustness probes: pathological inputs must flow through
+the whole pipeline without raising (Spark 4 ANSI mode: /0, overflow)
+and with verdicts identical between Spark and the pandas oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from luzzu_spark import oracle_pandas
+from luzzu_spark.pipeline import QualityPipeline, salted_repartition
+from luzzu_spark.rules.scrub import scrub_py
+
+NASTY_TEXTS = [
+    None,
+    "",
+    "   ",
+    "\n\n\n",
+    "a",
+    "🦀 🦀 🦀 emoji only 🦀 🦀",
+    "ünïcödé tëxt with àccents et le chat est sur la table oui oui",
+    "中文文本没有空格所以只有一个词",
+    "tab\tseparated\ttokens\tand\r\nwindows newlines here today",
+    "a" * 50_000,                       # one enormous token
+    ("word " * 20_000).strip(),         # 20k tokens
+    "the " * 200,                       # pure repetition
+    "user@example.com 555-123-4567 10.0.0.1 123-45-6789 badword",
+    "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))",
+    "\x00null\x00bytes\x00inside",
+    "mixed 123 numbers 456 and http://urls.example.com/path?q=1",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_assessed(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "url": [f"https://t.example.com/doc/{i}"
+                    for i in range(len(NASTY_TEXTS))],
+            "text": NASTY_TEXTS,
+            "lang": ["en"] * len(NASTY_TEXTS),
+            "doc_id": list(range(len(NASTY_TEXTS))),
+            "source": ["t"] * len(NASTY_TEXTS),
+        }))
+    return QualityPipeline().assess(df)
+
+
+def test_no_rows_lost_or_raised(spark, nasty_assessed):
+    assert nasty_assessed.count() == len(NASTY_TEXTS)
+
+
+def test_verdicts_match_oracle(spark, nasty_assessed):
+    rows = {r.doc_id: r for r in nasty_assessed.collect()}
+    for i, text in enumerate(NASTY_TEXTS):
+        want = oracle_pandas.assess_row(text)
+        got = rows[i]
+        assert list(got.drop_reasons) == want["drop_reasons"], (
+            i, text[:40], list(got.drop_reasons), want["drop_reasons"])
+        assert got.keep == want["keep"], (i, text)
+
+
+def test_scrub_matches_and_idempotent(spark, nasty_assessed):
+    rows = {r.doc_id: r for r in nasty_assessed.collect()}
+    for i, text in enumerate(NASTY_TEXTS):
+        want = scrub_py(text or "")
+        assert rows[i].text_scrubbed == want, (i, text)
+        assert scrub_py(want) == want  # idempotence
+
+
+def test_scores_never_nan_or_null_breaks_verdict(spark, nasty_assessed):
+    """Every rule score must be present in rule_scores (possibly null
+    for degenerate docs) and `keep` must always be a concrete bool."""
+    for r in nasty_assessed.collect():
+        assert r.keep in (True, False)
+        assert set(r.rule_scores.keys()) == {
+            "min_chars", "word_count", "mean_word_len", "max_word_len",
+            "symbol_ratio", "stopword_frac", "dup_ngram_frac",
+            "langid_conf", "perplexity"}
+
+
+def test_salted_equals_unsalted(spark):
+    """repartition_salted changes physical placement only — verdicts,
+    scores, and scrubbed text must be identical."""
+    from luzzu_spark.fixtures import as_webpages, load_table
+    pages = as_webpages(load_table(
+        spark, "/root/testdata/sf0.001", "documents"), inject_pii=True)
+    plain = QualityPipeline().assess(pages)
+    salted = QualityPipeline(repartition_salted=True,
+                             num_partitions=16).assess(pages)
+    cols = ["url", "keep", "text_scrubbed"]
+    assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+    assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
