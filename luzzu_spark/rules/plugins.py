@@ -42,3 +42,12 @@ def plugin_bundle_udf(texts: pd.Series) -> pd.DataFrame:
         "ppl": ppl_batch(texts),
         "dup13": dup_frac_batch(texts, token_lists=token_lists),
     })
+
+
+# The function IS deterministic; the flag only blocks Catalyst from
+# substituting the call into pushed-down predicates. Without it,
+# `assess(...).filter(col("keep"))` rewrites keep through every
+# projection, duplicating the UDF into the Filter — the plan then
+# carries TWO ArrowEvalPython nodes and re-scores every row (measured
+# 4× slowdown on the filtered() path).
+plugin_bundle_udf = plugin_bundle_udf.asNondeterministic()
