@@ -200,3 +200,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py against a brute-force oracle)."""
     from luzzu_spark.similarity import cosine_near_dup_pairs
     return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+
+
+@register("pipeline_rank_sources")
+def pipeline_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-driven source ranking (README.md:15 recast): weighted
+    rule-pass score per doc → mean per source → dense rank. Rows-only
+    (depends on the model-rule UDFs); the oracle-checked scoring twin
+    is docs_quality_score."""
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.metrics import rank_sources
+    from luzzu_spark.pipeline import QualityPipeline
+    pages = as_webpages(_docs(spark, sf_dir))
+    assessed = QualityPipeline(scrub=False).assess(pages)
+    return rank_sources(assessed)
