@@ -1,0 +1,70 @@
+"""Serialization-agnostic ingest: the same corpus via parquet / JSON /
+CSV must produce identical rows, and the pipeline must run unchanged
+on any of them (Luzzu's any-serialization ingest, README.md:14)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import load_table
+from luzzu_spark.sources import read_corpus, sniff_format
+
+SF = "/root/testdata/sf0.001"
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sources")
+    docs = load_table(spark, SF, "documents").select(*COLS)
+    paths = {}
+    for fmt in ("parquet", "json", "csv"):
+        p = str(root / fmt)
+        w = docs.coalesce(2).write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(p)
+        paths[fmt] = p
+    return paths
+
+
+def test_sniff_format(corpus_dirs):
+    for fmt, path in corpus_dirs.items():
+        assert sniff_format(path) == fmt
+    assert sniff_format("iceberg://cat.db.docs") == "iceberg"
+    assert sniff_format("/x/y/data.jsonl") == "json"
+
+
+def test_all_formats_identical(spark, corpus_dirs):
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    base = read_corpus(spark, corpus_dirs["parquet"]).select(*COLS)
+    for fmt in ("json", "csv"):
+        other = read_corpus(spark, corpus_dirs[fmt],
+                            schema=schema).select(*COLS)
+        assert other.count() == base.count() == 500
+        assert base.exceptAll(other).count() == 0, fmt
+        assert other.exceptAll(base).count() == 0, fmt
+
+
+def test_pipeline_runs_on_json_source(spark, corpus_dirs):
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    docs = read_corpus(spark, corpus_dirs["json"], schema=schema)
+    assessed = QualityPipeline().assess(as_webpages(docs))
+    n_keep = assessed.agg(
+        F.sum(F.col("keep").cast("long"))).collect()[0][0]
+    assert 0 < n_keep < 500
+
+
+def test_schema_required_for_text_formats(spark, corpus_dirs):
+    with pytest.raises(ValueError, match="declared schema"):
+        read_corpus(spark, corpus_dirs["json"])
+
+
+def test_iceberg_branch_raises_clearly(spark):
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        read_corpus(spark, "iceberg://cat.db.docs")
