@@ -155,8 +155,8 @@ def simhash_signatures(docs: DataFrame,
 
 def simhash_bucket_pairs(docs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
-    """Exact-signature collision pairs (Hamming distance 0 blocking;
-    k-bit tolerance would rotate band masks the same way)."""
+    """Exact-signature collision pairs (Hamming distance 0 blocking);
+    k-bit tolerance → simhash_near_pairs."""
     sigs = simhash_signatures(docs, id_col)
     a = sigs.select(F.col(id_col).alias("id_a"),
                     F.col("simhash"))
@@ -164,6 +164,50 @@ def simhash_bucket_pairs(docs: DataFrame,
     return (a.join(b, "simhash")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "simhash")
+            .orderBy("id_a", "id_b"))
+
+
+SIMHASH_BANDS = 4  # pigeonhole blocking: dist ≤ BANDS-1 ⇒ ≥1 equal band
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hamming-tolerant near-dup pairs via banded pigeonhole blocking.
+
+    The 63-bit signature splits into SIMHASH_BANDS contiguous bands; two
+    signatures within Hamming distance ≤ SIMHASH_BANDS-1 must agree on
+    at least one whole band (pigeonhole), so the candidate join is per
+    (band index, band value) bucket — never corpus². Candidates are then
+    verified exactly with bit_count(a XOR b) ≤ max_hamming. Complete
+    (recall 1.0) whenever max_hamming ≤ SIMHASH_BANDS-1.
+
+    Scale: same blocking shape as MinHash LSH banding; shuffle keys are
+    (int, long) pairs, signatures 1 long per side."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming <= "
+            f"{SIMHASH_BANDS - 1}; raise SIMHASH_BANDS for more")
+    sigs = simhash_signatures(docs, id_col)
+    width = 63 // SIMHASH_BANDS + 1  # 16 bits/band over 63 bits
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", i * width)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("bv"))
+        for i in range(SIMHASH_BANDS)])
+    exploded = (sigs.withColumn("b", F.explode(bands))
+                .select(F.col(id_col), "simhash",
+                        F.col("b.band"), F.col("b.bv")))
+    left = exploded.select(F.col(id_col).alias("id_a"),
+                           F.col("simhash").alias("sh_a"), "band", "bv")
+    right = exploded.select(F.col(id_col).alias("id_b"),
+                            F.col("simhash").alias("sh_b"), "band", "bv")
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (left.join(right, ["band", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
             .orderBy("id_a", "id_b"))
 
 

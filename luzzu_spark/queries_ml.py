@@ -214,3 +214,14 @@ def pipeline_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = as_webpages(_docs(spark, sf_dir))
     assessed = QualityPipeline(scrub=False).assess(pages)
     return rank_sources(assessed)
+
+
+@register("dedup_simhash_near")
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant SimHash near-dup pairs (banded pigeonhole
+    blocking + bit_count verify; complete for dist <= bands-1).
+    Rows-only: signature bits are implementation-defined; completeness
+    is proven against a brute-force Hamming scan in
+    tests/test_dedup_similarity.py."""
+    from luzzu_spark.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)

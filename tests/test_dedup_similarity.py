@@ -152,3 +152,35 @@ def test_near_dup_survivors(spark):
     # originals of the twins survive
     orig_ids = {i - 100000 for i in twin_ids}
     assert orig_ids <= ids
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark, docs):
+    """Banded blocking must find EVERY pair within max_hamming
+    (pigeonhole completeness) — checked against a brute-force numpy
+    Hamming scan over all signature pairs."""
+    import numpy as np
+    sigs = dedup.simhash_signatures(docs).collect()
+    ids = np.array([r.doc_id for r in sigs])
+    vals = np.array([r.simhash for r in sigs], dtype=np.uint64)
+    xor = vals[:, None] ^ vals[None, :]
+    # vectorized popcount via uint8 view + unpackbits-free table
+    dist = np.zeros(xor.shape, dtype=np.int64)
+    v = xor.copy()
+    while v.any():
+        dist += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    iu = np.triu_indices(len(ids), 1)
+    want = set()
+    for i, j in zip(*iu):
+        if dist[i, j] <= 3:
+            a, b = int(ids[i]), int(ids[j])
+            want.add((min(a, b), max(a, b)))
+    got = {(r.id_a, r.id_b)
+           for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert got == want, (sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_simhash_near_pairs_guard(spark, docs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(docs, max_hamming=10)
