@@ -6,7 +6,7 @@ New lifecycle (one lazy DataFrame, Catalyst optimizes end-to-end):
 
   scan → project(rule deps ∪ lineage) → token columns
        → declarative scores (whole-stage codegen)
-       → plugin scores (two Arrow-batched pandas UDFs)
+       → plugin scores (ONE fused Arrow-batched bundle UDF)
        → verdict (drop_reasons / rule_scores / keep)
        → scrub chain (regexp_replace, codegen)
        → forks: filtered corpus, metrics aggregates, problem report
