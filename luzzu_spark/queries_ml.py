@@ -93,15 +93,19 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- dedup family -------------------------------------------------------
 
-@register("dedup_minhash_pairs")  # rows-only: xxhash64-based signatures
+@register("dedup_minhash_pairs")  # rows-only: hash-seeded signatures
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs (threshold 0.5)."""
-    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """MinHash+LSH near-duplicate candidate pairs (threshold 0.5).
+    The deterministic sort lives here, not in the library function —
+    a production caller never pays a global sort of candidate pairs."""
+    return (dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .orderBy("id_a", "id_b"))
 
 
-@register("dedup_simhash_pairs")  # rows-only: xxhash64-based signatures
+@register("dedup_simhash_pairs")  # rows-only: hash-seeded signatures
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_bucket_pairs(_docs(spark, sf_dir))
+    return (dedup.simhash_bucket_pairs(_docs(spark, sf_dir))
+            .orderBy("id_a", "id_b"))
 
 
 @register("dedup_exact_survivors", oracle="""
@@ -197,9 +201,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH blocking + exact-cosine
     verify (rows-only: bucket recall is implementation-defined; the
     exact-pair correctness twin is tested in
-    tests/test_dedup_similarity.py against a brute-force oracle)."""
+    tests/test_dedup_similarity.py against a brute-force oracle).
+    Threshold 0.4: the fixture vectors are near-orthogonal (max pairwise
+    sim ≈ 0.5), so 0.9 returned an empty frame — a wasted driver check."""
     from luzzu_spark.similarity import cosine_near_dup_pairs
-    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    return (cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+            .orderBy("id_a", "id_b"))
 
 
 @register("pipeline_rank_sources")
@@ -224,4 +231,5 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     is proven against a brute-force Hamming scan in
     tests/test_dedup_similarity.py."""
     from luzzu_spark.dedup import simhash_near_pairs
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return (simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+            .orderBy("id_a", "id_b"))

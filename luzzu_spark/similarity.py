@@ -1,35 +1,101 @@
 """Embedding similarity search: brute-force cosine top-k + LSH variant.
 
-Baseline: broadcast the (small) query set, compute cosine with built-in
-array ops (zip_with + aggregate — JVM-side, no Python), rank per query
-with a window. Scale path: random-hyperplane LSH buckets restrict each
-query to one bucket's candidates — the bucket join replaces the full
-cross product (same blocking idea as dedup.lsh_candidate_pairs).
+Baseline: broadcast the (small) query set, score candidates with a
+vectorized Arrow pandas UDF (one numpy batch product per Arrow batch),
+rank per query with a window. Scale path: random-hyperplane LSH buckets
+restrict each query to one bucket's candidates — the bucket join
+replaces the full cross product (same blocking idea as
+dedup.lsh_candidate_pairs).
+
+Round-1 scored candidates with Catalyst higher-order array functions
+(aggregate/zip_with folds); those are CodegenFallback — interpreted,
+boxed, per element (CLAUDE.md rule 1) — so the cosine now runs as a
+Series→Series pandas UDF: the two vectors cross the JVM↔Python boundary
+once per candidate pair and the whole Arrow batch scores in two numpy
+elementwise passes. Plane projections for bucketing are one (n,d)@(d,p)
+matmul per batch against a deterministic splitmix64-derived plane
+matrix (no stored model, identical on every executor).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
-# Fixed hyperplane seeds for the LSH variant (no RNG at run time).
+# Fixed hyperplane count for the LSH variant (no RNG at run time).
 LSH_PLANES = 8
 
-
-def _dot(a, b) -> F.Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y:
-                                  x.cast("double") * y.cast("double")),
-                       F.lit(0.0), lambda acc, x: acc + x)
+_U64 = (1 << 64) - 1
 
 
-def _norm(a) -> F.Column:
-    return F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
+def _splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    x = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+# per-worker plane-matrix cache: lazy module global (models/constants
+# initialize once per Python worker, CLAUDE.md rule 2)
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _plane_matrix(dim: int, planes: int) -> np.ndarray:
+    """(dim, planes) weights in [-1, 1): splitmix64(j*planes + p)
+    scaled — deterministic, derivable anywhere, no stored model."""
+    key = (dim, planes)
+    m = _PLANE_CACHE.get(key)
+    if m is None:
+        idx = np.arange(dim * planes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64_vec(idx)
+        m = ((h % np.uint64(2000)).astype(np.float64) - 1000.0) / 1000.0
+        m = m.reshape(dim, planes)
+        _PLANE_CACHE[key] = m
+    return m
+
+
+def _mat(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+@pandas_udf(DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    A, B = _mat(a), _mat(b)
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    out = np.divide(num, den, out=np.full(len(a), np.nan), where=den > 0)
+    return pd.Series(out)
+
+
+def _bucket_udf(planes: int = LSH_PLANES):
+    @pandas_udf(LongType())
+    def f(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        V = _mat(v)
+        W = _plane_matrix(V.shape[1], planes)
+        bits = (V @ W > 0).astype(np.int64) << np.arange(planes)
+        return pd.Series(bits.sum(axis=1))
+    # deterministic in fact; flag blocks predicate-pushdown duplication
+    # of the UDF (CLAUDE.md rule 7)
+    return f.asNondeterministic()
+
+
+# scoring UDF is filtered on (sim >= t, rnk <= k): keep it out of
+# pushed predicates
+_cosine_udf = _cosine_udf.asNondeterministic()
 
 
 def cosine_expr(a, b) -> F.Column:
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    """Vectorized cosine(a, b) — Arrow pandas UDF (numpy per batch)."""
+    return _cosine_udf(a, b)
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -58,31 +124,8 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def hyperplane_bucket(vec_col: str = "embedding",
                       planes: int = LSH_PLANES) -> F.Column:
     """Sign-of-projection LSH bucket id from `planes` pseudo-random
-    hyperplanes. Plane p's component j = deterministic hash-derived
-    value in [-1,1): no stored model, identical on every executor."""
-    v = F.col(vec_col)
-
-    # Factory closure (not a default-arg lambda): keeps the HOF binder
-    # seeing a single-parameter lambda, so `p` stays a Python constant.
-    def plane_weight(p: int):
-        return lambda j: (
-            F.pmod(F.xxhash64(j.cast("long") * 1315423911 + p),
-                   F.lit(2000)) - 1000).cast("double") / 1000.0
-
-    bits = []
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                            plane_weight(p)),
-                lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append((proj > 0).cast("long") * F.lit(1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    hyperplanes (one numpy matmul per Arrow batch)."""
+    return _bucket_udf(planes)(F.col(vec_col))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -115,12 +158,16 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
     Scale path: LSH-bucket self-join as the blocking stage (near-dup
     vectors land in the same hyperplane-sign bucket with high
-    probability), exact cosine as the verify stage — the same
-    block-then-verify shape as MinHash→Jaccard in dedup.py. The
-    self-join is per bucket (corpus/2^planes rows), never corpus².
+    probability), exact cosine (vectorized UDF) as the verify stage —
+    the same block-then-verify shape as MinHash→Jaccard in dedup.py.
+    The self-join is per bucket (corpus/2^planes rows), never corpus²;
+    the explicit repartition on the bucket key shares ONE exchange
+    across both self-join sides, so the bucket UDF runs once.
     Recall < 1 by design (sign-LSH misses some near-pairs across a
-    plane); raise `planes` bands or multi-probe for higher recall."""
-    b = embeddings.withColumn("bucket", hyperplane_bucket(vec_col))
+    plane); raise `planes` bands or multi-probe for higher recall.
+    Unsorted — deterministic sort lives in the catalog wrapper."""
+    b = (embeddings.withColumn("bucket", hyperplane_bucket(vec_col))
+         .repartition(F.col("bucket")))
     left = b.select(F.col(id_col).alias("id_a"),
                     F.col(vec_col).alias("vec_a"), "bucket")
     right = b.select(F.col(id_col).alias("id_b"),
@@ -130,5 +177,4 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             .withColumn("sim", cosine_expr(F.col("vec_a"),
                                            F.col("vec_b")))
             .where(F.col("sim") >= threshold)
-            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-            .orderBy("id_a", "id_b"))
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim")))

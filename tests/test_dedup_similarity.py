@@ -184,3 +184,47 @@ def test_simhash_near_pairs_guard(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_near_pairs(docs, max_hamming=10)
+
+
+def test_near_dup_clusters_exact_components(spark):
+    """Min-label propagation must produce exact connected components:
+    a 4-chain, a triangle, and an isolated pair, all in one frame."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster)
+           for r in dedup.near_dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_near_dup_survivors_chain_keeps_one(spark):
+    """VERDICT r1 item 6: a planted chain a~b~c where (a,c) is NOT a
+    candidate pair must keep exactly one survivor (the lowest id).
+
+    a = X, b = X+Y, c = Y over disjoint 400-token blocks: J(a,b) =
+    J(b,c) ≈ 0.5, J(a,c) = 0 — (a,c) shares no shingle and can never
+    be an LSH candidate, but transitive clustering still prunes the
+    chain to its head. 16 bands of 2 rows so J≈0.5 pairs collide with
+    near-certainty (1-(1-0.25)^16 ≈ 0.99)."""
+    def block(tag):
+        return [f"{tag}{i}" for i in range(400)]
+
+    X, Y = block("x"), block("y")
+    rows = [(1, " ".join(X)), (2, " ".join(X + Y)),
+            (3, " ".join(Y)),
+            (50, " ".join(block("q")))]  # unrelated doc survives
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.35, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got, got
+    assert (1, 3) not in got, "disjoint docs must not be candidates"
+
+    ids = {r.doc_id
+           for r in dedup.near_dup_survivors(docs, 0.35,
+                                             bands=16).collect()}
+    assert ids == {1, 50}, ids
