@@ -50,13 +50,23 @@ def agg_salted_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-@register("join_salted_docs_dims")
+@register("join_salted_docs_dims", oracle="""
+WITH dims AS (
+  SELECT source, AVG(n_chars) AS src_avg_chars
+  FROM documents GROUP BY source)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(AVG(src_avg_chars), 4) AS DOUBLE) AS avg_src_chars
+FROM documents d JOIN dims USING (source)
+GROUP BY lang ORDER BY lang
+""")
 def join_salted_docs_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted join (rows-only: plan-shape op). The skewed side is
-    exploded over salt replicas of the (broadcastable) dim side — the
-    classic salted-join for when AQE's skew split can't apply (e.g.
-    pre-UDF repartition). Result equals the plain join; checked by the
-    companion agg_salted_by_source oracle pattern."""
+    """Skew-salted join, oracle-checked against the PLAIN join SQL —
+    salting must lose nothing (the same equality property
+    agg_salted_by_source proves for salted aggregation). The skewed
+    side is exploded over salt replicas of the (broadcastable) dim
+    side — the classic salted-join for when AQE's skew split can't
+    apply (e.g. pre-UDF repartition)."""
     d = _docs(spark, sf_dir)
     dims = (d.groupBy("source")
             .agg(F.avg("n_chars").alias("src_avg_chars")))
@@ -278,21 +288,25 @@ def events_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("window_range_time_sum", oracle="""
 SELECT event_id,
        CAST(ROUND(SUM(value) OVER (PARTITION BY user_id
-             ORDER BY EPOCH(ts)
-             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
-         AS sum_10min
+             ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS sum_10min
 FROM events ORDER BY event_id
 """)
 def window_range_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (SURVEY.md §2.6): trailing-10-minute
     value sum per user. RANGE frames include peer rows (same ts) in
     both engines, so no tie-break column is needed — unlike ROWS
-    frames, which would be order-sensitive."""
+    frames, which would be order-sensitive. The frame key is EXACT
+    epoch MICROSECONDS on both engines: unix_timestamp()/EPOCH()
+    truncate/keep sub-second fractions differently, which flips events
+    sitting exactly ~600 s apart across the frame boundary (found at
+    sf0.01 — whole-second keys silently agreed at sf0.001)."""
     from pyspark.sql import Window as W
     e = load_table(spark, sf_dir, "events")
     w = (W.partitionBy("user_id")
-         .orderBy(F.unix_timestamp("ts"))
-         .rangeBetween(-600, 0))
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-600_000_000, 0))
     return (e.select("event_id",
                      F.round(F.sum("value").over(w), 2)
                      .alias("sum_10min"))
