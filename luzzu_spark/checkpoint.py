@@ -35,6 +35,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -90,6 +91,39 @@ class BatchManifest:
             json.dump(entry, f)
         os.replace(tmp, self._entry(batch_id))
 
+    def invalidate(self, batch_id: str) -> None:
+        """Drop a committed batch whose id fell out of the current
+        plan: remove its output/metrics dirs first, the ledger entry
+        last — a crash mid-invalidate leaves the entry present and the
+        next run re-invalidates (never the reverse, which would leave
+        orphan output dirs matched by output_glob)."""
+        entry = self._entry(batch_id)
+        if os.path.exists(entry):
+            with open(entry) as f:
+                meta = json.load(f)
+            for k in ("output", "metrics"):
+                p = meta.get(k)
+                if p and os.path.isdir(p):
+                    shutil.rmtree(p)
+            os.remove(entry)
+
+    # ---- plan ledger: detects input-listing / batch-size drift ------
+    def plan_path(self) -> str:
+        return os.path.join(self.path, "plan.json")
+
+    def read_plan(self) -> dict | None:
+        if not os.path.exists(self.plan_path()):
+            return None
+        with open(self.plan_path()) as f:
+            return json.load(f)
+
+    def write_plan(self, plan: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.plan_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, self.plan_path())
+
 
 @dataclass
 class ResumableRun:
@@ -97,14 +131,42 @@ class ResumableRun:
     each batch to the manifest; a rerun continues where the last commit
     left off.
 
-    transform: pages DataFrame → output DataFrame (e.g. the pipeline's
-    `filtered`); metrics_fn (optional): pages DataFrame → metrics
-    DataFrame written next to the batch output (per-partition lineage).
-    """
+    transform: frame → output DataFrame (e.g. the pipeline's
+    `filtered`); metrics_fn (optional): frame → metrics DataFrame
+    written next to the batch output (per-partition lineage).
+
+    prepare (optional): pages → shared frame (e.g. the pipeline's
+    `assess`). When set, the prepared frame is persisted per batch and
+    BOTH transform and metrics_fn receive it — the expensive
+    plugin-UDF assessment runs once per batch instead of once per sink
+    (the double-assess ADVICE r1 finding).
+
+    fmt/schema: input serialization for sources.read_corpus — parquet
+    (default, self-describing), json, or csv with a declared schema;
+    the resumable lifecycle is serialization-agnostic.
+
+    Plan drift: the manifest carries a plan ledger (batch_size + input
+    listing fingerprint). A batch_size change between runs would
+    silently re-chunk every batch under new ids while the stale
+    committed dirs kept matching output_glob — so it REFUSES with a
+    clear error. Input-listing growth (the crawl-feed case) is handled
+    by invalidating committed batches whose id left the current plan
+    (their output dirs are removed before processing): with
+    lexically-appended listings only the last partial chunk shifts, so
+    one batch reprocesses and downstream readers never see duplicate
+    rows."""
 
     transform: Callable[[DataFrame], DataFrame]
     metrics_fn: Callable[[DataFrame], DataFrame] | None = None
     batch_size: int = 1  # files per batch; tune to ~target task count
+    prepare: Callable[[DataFrame], DataFrame] | None = None
+    fmt: str | None = None
+    schema: object | None = None  # StructType | DDL string (json/csv)
+
+    def _read(self, spark: SparkSession, paths) -> DataFrame:
+        from luzzu_spark.sources import read_corpus
+        return read_corpus(spark, paths, schema=self.schema,
+                           fmt=self.fmt)
 
     def run(self, spark: SparkSession, input_dir: str, output_dir: str,
             max_batches: int | None = None) -> dict:
@@ -113,9 +175,25 @@ class ResumableRun:
         max_batches caps work for this invocation (also how tests
         simulate a mid-run kill: run 2 of 4 batches, rerun, assert the
         first 2 are skipped)."""
-        files = spark.read.parquet(input_dir).inputFiles()
+        files = self._read(spark, input_dir).inputFiles()
         batches = plan_batches(files, self.batch_size)
         manifest = BatchManifest(os.path.join(output_dir, "_manifest"))
+        prior = manifest.read_plan()
+        if prior is not None and prior["batch_size"] != self.batch_size:
+            raise ValueError(
+                f"batch_size changed ({prior['batch_size']} → "
+                f"{self.batch_size}): committed batch ids would no "
+                "longer match the plan; rerun with the recorded "
+                "batch_size or start a fresh output dir")
+        current_ids = {b for b, _ in batches}
+        invalidated = [bid for bid in manifest.committed()
+                       if bid not in current_ids]
+        for bid in invalidated:
+            manifest.invalidate(bid)
+        manifest.write_plan({
+            "batch_size": self.batch_size,
+            "n_files": len(files),
+            "listing_sha": _batch_id(tuple(sorted(files)))})
         done = manifest.committed()
         processed, skipped = [], []
         for batch_id, chunk in batches:
@@ -124,21 +202,28 @@ class ResumableRun:
                 continue
             if max_batches is not None and len(processed) >= max_batches:
                 break
-            pages = spark.read.parquet(*chunk)
-            out_path = os.path.join(output_dir, f"batch={batch_id}")
-            out = self.transform(pages)
-            out.write.mode("overwrite").parquet(out_path)
-            meta: dict = {"files": list(chunk), "output": out_path}
-            if self.metrics_fn is not None:
-                m_path = os.path.join(output_dir,
-                                      f"metrics/batch={batch_id}")
-                self.metrics_fn(pages).write.mode("overwrite") \
-                    .parquet(m_path)
-                meta["metrics"] = m_path
+            pages = self._read(spark, list(chunk))
+            frame = self.prepare(pages) if self.prepare else pages
+            if self.prepare is not None:
+                frame = frame.persist()
+            try:
+                out_path = os.path.join(output_dir, f"batch={batch_id}")
+                out = self.transform(frame)
+                out.write.mode("overwrite").parquet(out_path)
+                meta: dict = {"files": list(chunk), "output": out_path}
+                if self.metrics_fn is not None:
+                    m_path = os.path.join(output_dir,
+                                          f"metrics/batch={batch_id}")
+                    self.metrics_fn(frame).write.mode("overwrite") \
+                        .parquet(m_path)
+                    meta["metrics"] = m_path
+            finally:
+                if self.prepare is not None:
+                    frame.unpersist()
             manifest.commit(batch_id, meta)
             processed.append(batch_id)
         return {"planned": len(batches), "processed": processed,
-                "skipped": skipped,
+                "skipped": skipped, "invalidated": invalidated,
                 "complete": len(processed) + len(skipped) == len(batches)}
 
     @staticmethod

@@ -379,6 +379,22 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
+def seen_anti_join(batch: DataFrame, seen: DataFrame,
+                   key: str = "url") -> DataFrame:
+    """Cross-run seen-set dedup (the batch twin of
+    streaming.stream_dedup_urls): drop every row of today's batch whose
+    key already exists in the committed corpus.
+
+    Scale contract: `seen` should be the bucketed corpus table written
+    by QualityPipeline.write_filtered(bucket_table=...) — then the
+    anti-join reads the committed side bucket-aligned WITHOUT a
+    shuffle and without touching its text columns (key column only);
+    only the (small) incoming batch shuffles to match the bucketing.
+    Key 'url' dedups re-crawled pages; 'content_hash' dedups
+    re-hosted identical content."""
+    return batch.join(seen.select(key), key, "left_anti")
+
+
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                       id_col: str = "doc_id") -> DataFrame:
     """Exact connected components over near-dup pairs → (id, cluster)

@@ -107,7 +107,14 @@ class QualityPipeline:
 
     def filtered(self, pages: DataFrame) -> DataFrame:
         """The kept, scrubbed corpus (the training-data output)."""
-        out = self.assess(pages).filter(F.col("keep"))
+        return self.filtered_from_assessed(self.assess(pages))
+
+    def filtered_from_assessed(self, assessed: DataFrame) -> DataFrame:
+        """Project the kept corpus out of an already-assessed frame —
+        callers holding a persisted assessment (ResumableRun's prepare
+        stage, write_reports) derive the filtered output AND the
+        metric sinks from one UDF pass instead of re-scoring."""
+        out = assessed.filter(F.col("keep"))
         cols = [c for c in ("url", "warc_ts", "lang", "lang_pred",
                             "doc_id", "source") if c in out.columns]
         return out.select(*cols,
@@ -126,15 +133,32 @@ class QualityPipeline:
                 .drop("rule_scores"))
 
     def write_filtered(self, pages: DataFrame, path: str,
-                       lang_partitioned: bool = True) -> None:
+                       lang_partitioned: bool = True,
+                       bucket_table: str | None = None,
+                       n_buckets: int = 16) -> None:
         """Corpus sink: partition by lang (partition pruning for
         downstream per-language training reads); parquet here, Iceberg
-        `writeTo(...).append()` in catalog deployments."""
-        out = self.filtered(pages)
+        `writeTo(...).append()` in catalog deployments.
+
+        bucket_table: when set, the corpus is ALSO bucketed+sorted by
+        url (SURVEY.md §2.1) and registered as a catalog table at
+        `path` — the layout the cross-run seen-set dedup depends on: a
+        later batch's anti-join against the committed corpus reads the
+        bucketed side shuffle-free (only the new batch shuffles; the
+        10^12-row corpus never moves — see seen_anti_join and
+        tests/test_plans.py). A content_hash column rides along so the
+        same layout serves content-level dedup."""
+        out = self.filtered(pages).withColumn(
+            "content_hash", F.xxhash64("text"))
         writer = out.write.mode("overwrite")
         if lang_partitioned and "lang" in out.columns:
             writer = writer.partitionBy("lang")
-        writer.parquet(path)
+        if bucket_table is not None:
+            (writer.option("path", path)
+             .bucketBy(n_buckets, "url").sortBy("url")
+             .saveAsTable(bucket_table))
+        else:
+            writer.parquet(path)
 
     def write_reports(self, assessed: DataFrame, path: str,
                       run_id: str) -> None:

@@ -17,6 +17,7 @@ silently degrading.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -29,19 +30,43 @@ _EXT_FORMAT = {
     ".csv": "csv",
 }
 
+# the documents/page corpus shape (BASELINE.json:15 input_hint fields +
+# fixture lineage columns) — the declared schema for json/csv ingests
+DOCUMENTS_SCHEMA = ("doc_id long, text string, lang string, "
+                    "source string, n_chars long")
+
+_REMOTE_SCHEME = re.compile(r"^[a-z][a-z0-9+.-]*://")
+
+
+def _is_remote(path: str) -> bool:
+    return bool(_REMOTE_SCHEME.match(path)) and not path.startswith(
+        ("file://", "iceberg://"))
+
 
 def sniff_format(path: str) -> str:
     """Format from the path: URI scheme first, else file extension,
     else the extensions present in a directory listing (majority of
-    recognized data files; deterministic tie-break by format name)."""
+    recognized data files; deterministic tie-break by format name).
+
+    Remote URIs (hdfs://, s3a://, …) with no recognizable extension
+    RAISE instead of defaulting: os.listdir is a silent no-op on remote
+    schemes, so a remote JSON/CSV directory would otherwise fall
+    through to 'parquet' and fail later with a confusing scan error
+    (ADVICE r1) — pass fmt= explicitly for remote directories."""
     if path.startswith("iceberg://"):
         return "iceberg"
     ext = os.path.splitext(path)[1].lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
-    if os.path.isdir(path):
+    if _is_remote(path):
+        raise ValueError(
+            f"cannot sniff the format of remote directory {path!r} "
+            "(local directory listing does not apply to remote "
+            "schemes); pass fmt='parquet'|'json'|'csv' explicitly")
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if os.path.isdir(local):
         counts: dict[str, int] = {}
-        for name in os.listdir(path):
+        for name in os.listdir(local):
             e = os.path.splitext(name)[1].lower()
             if e in _EXT_FORMAT:
                 counts[_EXT_FORMAT[e]] = counts.get(_EXT_FORMAT[e], 0) + 1
@@ -51,28 +76,31 @@ def sniff_format(path: str) -> str:
     return "parquet"  # the corpus default
 
 
-def read_corpus(spark: SparkSession, path: str,
+def read_corpus(spark: SparkSession, path: str | list[str],
                 schema: StructType | str | None = None,
                 fmt: str | None = None) -> DataFrame:
     """Read a corpus table from any supported serialization.
 
-    schema is required for json/csv (declared, never inferred); parquet
-    carries its own. CSV assumes a header row matching the schema's
-    column order."""
-    fmt = fmt or sniff_format(path)
+    path: one dir/file or an explicit file list (the resumable runner
+    reads each committed batch by its planned file chunk). schema is
+    required for json/csv (declared, never inferred); parquet carries
+    its own. CSV assumes a header row matching the schema's column
+    order."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    fmt = fmt or sniff_format(paths[0])
     if fmt == "iceberg":
         raise NotImplementedError(
             "Iceberg catalog reads need the iceberg-spark-runtime jar: "
             "spark.read.format('iceberg').load(table) — not available "
             "in this environment")
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        return spark.read.parquet(*paths)
     if schema is None:
         raise ValueError(f"{fmt} reads require a declared schema "
                          "(inference is nondeterministic under sampling)")
     reader = spark.read.schema(schema)
     if fmt == "json":
-        return reader.json(path)
+        return reader.json(list(paths))
     if fmt == "csv":
-        return reader.option("header", "true").csv(path)
+        return reader.option("header", "true").csv(list(paths))
     raise ValueError(f"unsupported format: {fmt}")

@@ -43,11 +43,15 @@ def assess_stream(pages: DataFrame,
 
     Works unchanged because every pipeline stage is a stateless
     projection/filter (scores, UDFs, verdict, scrub) — no global agg
-    inside assess(). auto_spread is disabled: repartition-by-number is
-    not valid pre-aggregation in a stream, and micro-batch file splits
-    already set parallelism."""
-    pipe = pipeline or QualityPipeline(auto_spread=False)
-    pipe.auto_spread = False
+    inside assess(). auto_spread is disabled on a COPY of the supplied
+    pipeline (dataclasses.replace — mutating the argument would
+    silently strip auto_spread from a shared instance's later batch
+    use, ADVICE r1): repartition-by-number is not valid
+    pre-aggregation in a stream, and micro-batch file splits already
+    set parallelism."""
+    import dataclasses
+    pipe = (dataclasses.replace(pipeline, auto_spread=False)
+            if pipeline is not None else QualityPipeline(auto_spread=False))
     return pipe.assess(pages)
 
 

@@ -42,6 +42,13 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--as-webpages", action="store_true",
                    help="lift a documents-schema input to the page shape")
+    p.add_argument("--input-format", default=None,
+                   choices=["parquet", "json", "csv"],
+                   help="corpus serialization (default: sniff from the "
+                        "path; remote dirs must pass this explicitly)")
+    p.add_argument("--input-schema", default=None,
+                   help="DDL schema for json/csv inputs (default: the "
+                        "documents corpus shape)")
     p.add_argument("--inject-pii", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=0,
                    help=">0 enables salted host repartitioning")
@@ -59,6 +66,8 @@ def main() -> None:
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.pipeline import QualityPipeline
     from luzzu_spark.session import DEFAULT_CONFS
+    from luzzu_spark.sources import DOCUMENTS_SCHEMA, read_corpus, \
+        sniff_format
 
     builder = SparkSession.builder.appName("luzzu_spark_filter")
     if args.master:
@@ -71,25 +80,30 @@ def main() -> None:
     pipe = QualityPipeline(
         repartition_salted=args.salt_buckets > 0,
         num_partitions=None)
+    fmt = args.input_format or sniff_format(args.input)
+    schema = (args.input_schema or DOCUMENTS_SCHEMA) \
+        if fmt in ("json", "csv") else None
 
-    def transform(pages):
+    # prepare runs the expensive plugin-UDF assessment ONCE per batch
+    # (ResumableRun persists it); both sinks derive from that frame —
+    # the round-1 version re-assessed in metrics_fn (ADVICE r1)
+    def prepare(pages):
         if args.as_webpages or "url" not in pages.columns:
             pages = as_webpages(pages, inject_pii=args.inject_pii)
-        return pipe.filtered(pages)
+        return pipe.assess(pages)
 
-    def metrics(pages):
+    def transform(assessed):
+        return pipe.filtered_from_assessed(assessed)
+
+    def metrics(assessed):
         from luzzu_spark.metrics import partition_lineage
-        if args.as_webpages or "url" not in pages.columns:
-            pages = as_webpages(pages, inject_pii=args.inject_pii)
-        return partition_lineage(pipe.assess(pages))
+        return partition_lineage(assessed)
 
-    n_docs = spark.read.parquet(args.input).count()
+    corpus = read_corpus(spark, args.input, schema=schema, fmt=fmt)
+    n_docs = corpus.count()
     result: dict = {}
     if args.bench:
-        pages = spark.read.parquet(args.input)
-        if args.as_webpages or "url" not in pages.columns:
-            pages = as_webpages(pages, inject_pii=args.inject_pii)
-        assessed = pipe.assess(pages)
+        assessed = prepare(corpus)
         times = []
         for i in range(max(args.repeat, 2)):
             t0 = time.perf_counter()
@@ -108,7 +122,8 @@ def main() -> None:
     for i in range(args.repeat):
         out = args.output if args.repeat == 1 else f"{args.output}/run{i}"
         run = ResumableRun(transform=transform, metrics_fn=metrics,
-                           batch_size=args.batch_size)
+                           prepare=prepare, batch_size=args.batch_size,
+                           fmt=fmt, schema=schema)
         t0 = time.perf_counter()
         summary = run.run(spark, args.input, out)
         sec = time.perf_counter() - t0

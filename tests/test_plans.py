@@ -82,34 +82,39 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in _plan(j)
 
 
-def test_bucketed_join_no_shuffle(spark, tmp_path):
-    """Bucketed corpus sink → co-located join without Exchange.
+def test_bucketed_sink_seen_join_no_corpus_shuffle(spark, tmp_path):
+    """The REAL corpus sink (write_filtered bucket_table=...) feeds the
+    cross-run seen-set anti-join with NO shuffle on the committed side.
 
-    The verdict/scrubbed sink buckets by url hash (SURVEY.md §2.1);
-    joining two tables bucketed the same way (e.g. today's verdicts vs
-    yesterday's seen-set) must not shuffle either side."""
-    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
-    name_a, name_b = "bt_a", "bt_b"
-    for name in (name_a, name_b):
-        (docs.write.mode("overwrite")
-         .option("path", str(tmp_path / name))
-         .bucketBy(8, "doc_id").sortBy("doc_id")
-         .saveAsTable(name))
-    a, b = spark.table(name_a), spark.table(name_b)
-    # fixture tables are tiny, so AQE would pick broadcast (which also
-    # disables bucket scans); force the sort-merge path the bucketing
-    # exists for — at corpus scale neither side is broadcastable
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    At 10^12 docs the committed corpus must never reshuffle; only the
+    incoming batch pays one Exchange to align with the bucketing."""
+    from luzzu_spark.dedup import seen_anti_join
+    docs = load_table(spark, SF, "documents")
+    pages = as_webpages(docs)
+    pipe = QualityPipeline()
+    pipe.write_filtered(pages, str(tmp_path / "corpus"),
+                        bucket_table="seen_corpus_plan", n_buckets=8)
     try:
-        j = a.join(b, "doc_id")
-        plan = _plan(j)
+        seen = spark.table("seen_corpus_plan")
+        batch = pages.select("url", "doc_id")
+        # fixture tables are tiny, so AQE would pick broadcast (which
+        # also disables bucket scans); force the sort-merge path the
+        # bucketing exists for — at corpus scale neither side is
+        # broadcastable
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(seen_anti_join(batch, seen))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, (
+            "only the incoming batch may shuffle; the bucketed corpus "
+            "side must be exchange-free:\n" + plan)
+        # the corpus side reads the url key only — text never scans
+        assert "ReadSchema: struct<url:string>" in plan, plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert "SortMergeJoin" in plan, plan
-    assert "Exchange hashpartitioning" not in plan, (
-        "bucket-aligned join must not shuffle either side:\n" + plan)
-    assert "Bucketed: true" in plan, plan
+        spark.sql("DROP TABLE IF EXISTS seen_corpus_plan")
 
 
 def test_scrub_filter_not_recomputed_in_scan(spark):

@@ -68,3 +68,26 @@ def test_schema_required_for_text_formats(spark, corpus_dirs):
 def test_iceberg_branch_raises_clearly(spark):
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         read_corpus(spark, "iceberg://cat.db.docs")
+
+
+def test_sniff_remote_dir_requires_explicit_format():
+    """hdfs/s3 dirs can't be os.listdir'd — sniffing must refuse
+    instead of silently defaulting to parquet (ADVICE r1)."""
+    import pytest
+    from luzzu_spark.sources import read_corpus, sniff_format
+    with pytest.raises(ValueError, match="remote"):
+        sniff_format("s3a://bucket/corpus-dir")
+    with pytest.raises(ValueError, match="remote"):
+        read_corpus(None, "hdfs://nn/corpus-dir")
+    # extension still wins for remote FILES
+    assert sniff_format("s3a://bucket/part-0.jsonl") == "json"
+
+
+def test_read_corpus_file_list(spark, tmp_path):
+    from luzzu_spark.sources import read_corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "multi")
+    docs.repartition(3).write.mode("overwrite").parquet(p)
+    files = spark.read.parquet(p).inputFiles()
+    part = read_corpus(spark, files[:2])
+    assert 0 < part.count() < docs.count()
