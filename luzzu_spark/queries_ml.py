@@ -233,3 +233,16 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luzzu_spark.dedup import simhash_near_pairs
     return (simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
             .orderBy("id_a", "id_b"))
+
+
+@register("dedup_near_survivors")
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal end-to-end: MinHash+LSH pairs → exact
+    connected components (bounded min-label propagation) → lowest-id
+    cluster head survives. Rows-only (hash-seeded pairs); the chain
+    semantics are pinned in tests/test_dedup_similarity.py."""
+    survivors = dedup.near_dup_survivors(_docs(spark, sf_dir),
+                                         threshold=0.5)
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("total_chars"))

@@ -329,3 +329,73 @@ def docs_chars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("bucket"))
+
+
+@register("join_asof_event_order", oracle="""
+SELECT event_id, user_id, asof_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1 ORDER BY event_id
+""")
+def join_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY.md §2.5): each event picks the LATEST order
+    of the same user at or before the event time (tie-break: highest
+    o_orderkey).
+
+    Scale shape — union-sort-last, NOT join-then-rank: tagging both
+    tables, sorting once per user on (time, tag, key) and carrying the
+    last non-null order key forward costs ONE shuffle+sort of
+    |events|+|orders| rows. The naive non-equi join (the oracle's
+    formulation, fine for DuckDB at fixture scale) multiplies each
+    event by ALL its prior orders before ranking — quadratic per user
+    at production scale."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ev = e.select("user_id", F.col("ts").alias("t"),
+                  F.lit(1).alias("is_event"), "event_id",
+                  F.lit(None).cast("long").alias("okey"))
+    od = o.select(F.col("o_custkey").alias("user_id"),
+                  F.col("o_orderdate").alias("t"),
+                  F.lit(0).alias("is_event"),
+                  F.lit(None).cast("long").alias("event_id"),
+                  F.col("o_orderkey").alias("okey"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "is_event", "okey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (od.unionByName(ev)
+            .withColumn("asof_orderkey",
+                        F.last("okey", ignorenulls=True).over(w))
+            .where((F.col("is_event") == 1)
+                   & F.col("asof_orderkey").isNotNull())
+            .select("event_id", "user_id", "asof_orderkey")
+            .orderBy("event_id"))
+
+
+@register("events_sliding_10x5", oracle="""
+WITH starts AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS window_start,
+         value FROM events
+  UNION ALL
+  SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 - 300 AS BIGINT), value
+  FROM events)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+FROM starts GROUP BY window_start ORDER BY window_start
+""")
+def events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (10-minute window, 5-minute slide) — each
+    event lands in exactly two windows; the oracle replays that
+    membership with a two-start UNION ALL. window() start returned as
+    epoch seconds for portability (queries.py determinism rules)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                      .alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "n_events", "sum_value")
+            .orderBy("window_start"))
