@@ -91,6 +91,23 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk")
 
 
+@register("embed_ivf_topk")  # rows-only: k-means cells are model-derived
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path: k-means
+    Voronoi cells (trained driver-side on a hash-sample, broadcast as
+    a numpy matrix), each query probes its nprobe nearest cells only.
+    Rows-only: cell boundaries are model-derived; the exactness twin
+    (nprobe == n_lists ≡ brute force) is pinned in
+    tests/test_dedup_similarity.py."""
+    from luzzu_spark.ivf import ivf_topk
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    return (ivf_topk(e, q, k=5, nprobe=4)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rnk")
+            .orderBy("query_id", "rnk"))
+
+
 # ---- dedup family -------------------------------------------------------
 
 @register("dedup_minhash_pairs")  # rows-only: hash-seeded signatures

@@ -399,3 +399,50 @@ def events_sliding_10x5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.unix_timestamp("w.start").alias("window_start"),
                     "n_events", "sum_value")
             .orderBy("window_start"))
+
+
+@register("agg_pivot_source_lang", oracle="""
+SELECT source,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source
+""")
+def agg_pivot_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): doc counts per source with one column per
+    language. The value list is EXPLICIT — with implicit values Spark
+    runs an extra distinct job over the pivot column and the output
+    schema becomes data-dependent (both wrong at 100 TB; a fixed
+    vocabulary keeps the plan one pass)."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    p = (_docs(spark, sf_dir).groupBy("source")
+         .pivot("lang", langs).count())
+    return (p.select("source",
+                     *[F.coalesce(F.col(c), F.lit(0)).cast("long")
+                       .alias(c) for c in langs])
+            .orderBy("source"))
+
+
+@register("agg_percentile_chars", oracle="""
+SELECT lang,
+       CAST(ROUND(quantile_cont(n_chars, 0.5), 6) AS DOUBLE) AS p50_chars,
+       CAST(ROUND(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p90_chars,
+       CAST(ROUND(quantile_cont(n_chars, 0.99), 6) AS DOUBLE) AS p99_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def agg_percentile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of doc length per
+    language (score-distribution reporting). Exact percentile needs
+    the full value multiset per group — fine for bounded-cardinality
+    report groups like lang; the streaming/per-host path uses
+    approx_percentile (agg_approx_distinct's contract) instead."""
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.round(F.percentile("n_chars", F.lit(0.5)), 6)
+                 .alias("p50_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.9)), 6)
+                 .alias("p90_chars"),
+                 F.round(F.percentile("n_chars", F.lit(0.99)), 6)
+                 .alias("p99_chars"))
+            .orderBy("lang"))

@@ -264,3 +264,95 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg("q"), 6).alias("avg_quality"),
                  F.count(F.lit(1)).alias("n_docs"))
             .orderBy("source"))
+
+
+@register("text_bpe_token_counts", oracle=r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text,
+         '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s')))
+         AS BIGINT) AS total_bpe_tokens,
+       CAST(ROUND(AVG(len(regexp_extract_all(text,
+         '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'))),
+         6) AS DOUBLE) AS avg_bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts (GPT-2 pattern family, simplified
+    to the lookahead-free subset both Java regex and RE2 evaluate
+    identically): contraction suffixes, space-prefixed letter runs,
+    digit runs, punctuation runs, residual whitespace. One-pass
+    regexp_count per row — codegen'd, no HOF (CLAUDE.md rule 1)."""
+    pat = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+    n = F.regexp_count("text", F.lit(pat))
+    return (_docs(spark, sf_dir).groupBy("lang")
+            .agg(F.sum(n).cast("long").alias("total_bpe_tokens"),
+                 F.round(F.avg(n), 6).alias("avg_bpe_tokens"))
+            .orderBy("lang"))
+
+
+@register("dedup_ngram_jaccard_exact", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks)-3),
+                  i -> array_to_string(toks[i:i+4], ' ')))) AS s
+       FROM t WHERE len(toks) >= 5),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(n_inter AS DOUBLE)
+            / (sa.n + sb.n - n_inter), 6) AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.1
+ORDER BY id_a, id_b
+""")
+def dedup_ngram_jaccard_exact(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EXACT 5-gram Jaccard near-dup pairs via an inverted shingle
+    index — the oracle-checkable twin of the MinHash estimate.
+
+    Scale shape: explode distinct shingles, equi-join on the shingle
+    key (docs sharing no shingle never meet — the inverted index IS
+    the blocking), count shared shingles per pair, derive the union
+    as |A| + |B| - |A∩B| from two per-doc size joins. No all-pairs
+    product anywhere; the shuffle keys are shingle strings and doc-id
+    pairs. (Production uses the hashed vectorized shingler in
+    dedup.py; string shingles here keep the math bit-identical to the
+    SQL oracle. The per-doc shingle HOF runs once per row, outside
+    any self-join hot path.)"""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    sh = (d.where(F.size("toks") >= 5)
+          .select("doc_id", F.explode(F.array_distinct(F.transform(
+              F.sequence(F.lit(1), F.size("toks") - 4),
+              lambda i: F.array_join(F.slice("toks", i, 5), " "))))
+              .alias("s")))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (a.join(b, "s")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    jac = (inter
+           .join(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("n", "na"), "id_a")
+           .join(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("n", "nb"), "id_b")
+           .withColumn("jaccard_raw",
+                       F.col("n_inter").cast("double")
+                       / (F.col("na") + F.col("nb") - F.col("n_inter"))))
+    return (jac.where(F.col("jaccard_raw") >= 0.1)
+            .select("id_a", "id_b",
+                    F.round("jaccard_raw", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))

@@ -228,3 +228,62 @@ def test_near_dup_survivors_chain_keeps_one(spark):
            for r in dedup.near_dup_survivors(docs, 0.35,
                                              bands=16).collect()}
     assert ids == {1, 50}, ids
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_lists probes every cell, so IVF must degenerate to
+    the exact brute-force answer — the exactness end of the knob."""
+    from luzzu_spark import ivf
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    want = [(r["query_id"], r["neighbor_id"], r["rnk"])
+            for r in similarity.brute_force_topk(emb, q, k=5)
+            .select("query_id", "neighbor_id", "rnk")
+            .orderBy("query_id", "rnk").collect()]
+    got = [(r["query_id"], r["neighbor_id"], r["rnk"])
+           for r in ivf.ivf_topk(emb, q, k=5, nprobe=8, n_lists=8)
+           .orderBy("query_id", "rnk").collect()]
+    assert got == want
+
+
+def test_ivf_planted_twin_top1(spark):
+    """A barely-perturbed twin of each query lands in the same Voronoi
+    cell, so even nprobe=1 must return it as the top-1 neighbor."""
+    import pandas as pd
+    from luzzu_spark import ivf
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.toPandas()
+    planted = base.head(5).copy()
+    planted["vec_id"] = planted["vec_id"] + 100000
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: [float(v[0]) * 1.0001 + 1e-5]
+        + [float(x) for x in v[1:]])
+    both = spark.createDataFrame(pd.concat([base, planted]),
+                                 schema=emb.schema)
+    q = both.where(F.col("vec_id") < 5)
+    got = {r["query_id"]: r["neighbor_id"]
+           for r in ivf.ivf_topk(both, q, k=1, nprobe=1, n_lists=8)
+           .collect()}
+    for qid in range(5):
+        assert got[qid] == qid + 100000, (qid, got)
+
+
+def test_ivf_scores_are_true_cosines(spark):
+    """IVF answers carry exact cosine scores (approx in recall only),
+    and the index is deterministic: two builds assign identically."""
+    import numpy as np
+    from luzzu_spark import ivf
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+          for r in similarity.brute_force_topk(emb, q, k=500).collect()}
+    for r in ivf.ivf_topk(emb, q, k=5, nprobe=2, n_lists=8).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in bf and abs(bf[key] - r["sim"]) < 1e-9
+    idx1, c1 = ivf.build_index(emb, n_lists=8)
+    idx2, c2 = ivf.build_index(emb, n_lists=8)
+    assert np.array_equal(c1, c2)
+    a1 = sorted((r["vec_id"], r["list_id"]) for r in idx1.collect())
+    a2 = sorted((r["vec_id"], r["list_id"]) for r in idx2.collect())
+    assert a1 == a2
+    assert np.allclose((c1 * c1).sum(axis=1), 1.0)
