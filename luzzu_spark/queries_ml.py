@@ -344,3 +344,51 @@ def multimodal_image_features(spark: SparkSession,
                  .alias("avg_mass"),
                  F.count(F.lit(1)).cast("long").alias("n_docs"))
             .orderBy("pos"))
+
+
+@register("pipeline_confusion_f1")  # rows-only: model-UDF pipeline
+def pipeline_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop confusion matrix + F1 vs the reference labels — the
+    north-rule acceptance metric (BASELINE.json: F1 ≥ 0.99) surfaced
+    as a driver-visible query instead of only a local test.
+
+    The reference labeler is the pure-pandas twin of the rule spec
+    (oracle_pandas.assess_frame, the role the code-stripped reference
+    repo cannot play); it runs driver-side on the fixture frame — a
+    VERIFICATION query, bounded by fixture scale, not a production
+    path. The Spark side is the full UDF pipeline; labels join on url."""
+    import pandas as pd
+    from luzzu_spark import oracle_pandas
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = as_webpages(spread(docs), inject_pii=True)
+    assessed = QualityPipeline().assess(pages).select(
+        "url", F.col("keep").alias("keep_spark"))
+
+    ref_pdf = oracle_pandas.assess_frame(
+        docs.select("doc_id", "source", "text").toPandas(),
+        inject_pii=True)
+    ref_pdf["url"] = ("https://" + ref_pdf["source"]
+                      + ".example.com/doc/"
+                      + ref_pdf["doc_id"].astype(str))
+    ref = spark.createDataFrame(
+        pd.DataFrame({"url": ref_pdf["url"],
+                      "keep_ref": ref_pdf["keep"]}))
+
+    m = (assessed.join(ref, "url")
+         .agg(F.sum((F.col("keep_spark") & F.col("keep_ref"))
+                    .cast("long")).alias("tp"),
+              F.sum((F.col("keep_spark") & ~F.col("keep_ref"))
+                    .cast("long")).alias("fp"),
+              F.sum((~F.col("keep_spark") & F.col("keep_ref"))
+                    .cast("long")).alias("fn"),
+              F.sum((~F.col("keep_spark") & ~F.col("keep_ref"))
+                    .cast("long")).alias("tn")))
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.try_divide(
+            2.0 * F.col("tp"),
+            2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
+        .alias("f1"))

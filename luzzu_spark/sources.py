@@ -90,9 +90,13 @@ def read_corpus(spark: SparkSession, path: str | list[str],
     fmt = fmt or sniff_format(paths[0])
     if fmt == "iceberg":
         raise NotImplementedError(
-            "Iceberg catalog reads need the iceberg-spark-runtime jar: "
-            "spark.read.format('iceberg').load(table) — not available "
-            "in this environment")
+            "Iceberg catalog reads need the iceberg-spark-runtime jar "
+            "(deploy with --packages org.apache.iceberg:"
+            "iceberg-spark-runtime-4.0_2.13:<latest> and a catalog conf "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+            "SparkCatalog): spark.read.format('iceberg').load(table) — "
+            "jar not available in this environment; checkpoint.py "
+            "emulates the snapshot-watermark contract over parquet")
     if fmt == "parquet":
         return spark.read.parquet(*paths)
     if schema is None:
