@@ -460,3 +460,34 @@ def events_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("value"), 6).alias("avg_value"))
         .orderBy("hour_epoch", "event_type"))
+
+
+@register("q17_small_quantity_revenue", oracle="""
+SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 6) AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity), expressed in SQL so Catalyst's decorrelation does the
+    rewrite: the subquery becomes a per-partkey aggregate joined back,
+    ONE extra shuffle keyed on l_partkey instead of a per-row probe.
+    The brand filter broadcasts into both the outer join and the
+    decorrelated aggregate (AQE), so the heavy lineitem scan prunes
+    to the filtered parts on both sides."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql("""
+        SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0, 6) AS DOUBLE)
+                 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)

@@ -132,3 +132,40 @@ def test_scrub_filter_not_recomputed_in_scan(spark):
         if line.strip().startswith("Condition") and "split(" in line:
             raise AssertionError(
                 "shingle pipeline duplicated into a Filter:\n" + line)
+
+
+def test_ivf_probe_join_is_broadcast_no_row_python(spark):
+    """IVF search: exploded query probes must BROADCAST onto the
+    indexed corpus (the corpus never shuffles for a search), and all
+    Python stages must be Arrow-vectorized."""
+    from luzzu_spark import ivf
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    plan = _plan(ivf.ivf_topk(emb, q, k=5, nprobe=2, n_lists=8))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """Exact-Jaccard pairs must block via the inverted shingle index —
+    an equi-join on the shingle key, never an all-pairs product."""
+    from luzzu_spark import queries_text  # noqa: F401 — registry import
+    from luzzu_spark.queries import queries
+    df = queries()["dedup_ngram_jaccard_exact"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q17_subquery_is_decorrelated(spark):
+    """The correlated scalar subquery must decorrelate into a
+    per-partkey aggregate + join (one extra shuffle), not a per-row
+    re-execution of the subquery."""
+    from luzzu_spark.queries import queries
+    df = queries()["q17_small_quantity_revenue"](spark, SF)
+    opt = _optimized(df)
+    plan = _plan(df)
+    assert "scalar-subquery" not in opt.lower(), opt
+    assert plan.count("Aggregate") >= 1 and "Join" in plan, plan
+    assert "CartesianProduct" not in plan, plan
