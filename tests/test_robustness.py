@@ -91,3 +91,41 @@ def test_salted_equals_unsalted(spark):
     cols = ["url", "keep", "text_scrubbed"]
     assert plain.select(cols).exceptAll(salted.select(cols)).count() == 0
     assert salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+
+
+def test_fuzz_corpus_spark_equals_oracle(spark):
+    """Seeded fuzz corpus (400 docs): random token soups mixing ascii,
+    unicode, PII-shaped fragments, pathological whitespace and length
+    extremes. The full Spark pipeline must agree with the pandas
+    reference labeler EXACTLY — keep, drop_reasons order, and
+    byte-identical scrubbed text — on every generated row.
+    Deterministic: fixed seed, no hypothesis shrinking nondeterminism."""
+    import random
+    rng = random.Random(0)
+    frags = [
+        "the", "and", "is", "of", "to", "word", "données", "汉字",
+        "🦀", "x" * 300, "user@ex.com", "555-123-4567", "10.0.0.1",
+        "123-45-6789", "http://a.b/c?d=1", "@@@", "...", "\t", "\n",
+        "Mixed", "CASE", "tokens", "1234567890", "élan",
+    ]
+    texts = []
+    for i in range(400):
+        n = rng.randint(0, 80)
+        sep = rng.choice([" ", "  ", " \n ", "\t"])
+        texts.append(sep.join(rng.choice(frags) for _ in range(n)))
+    pdf = pd.DataFrame({
+        "url": [f"https://f.example.com/doc/{i}"
+                for i in range(len(texts))],
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "doc_id": list(range(len(texts))),
+        "source": ["f"] * len(texts),
+    })
+    got = (QualityPipeline().assess(spark.createDataFrame(pdf))
+           .select("doc_id", "keep", "drop_reasons", "text_scrubbed")
+           .toPandas().set_index("doc_id").sort_index())
+    want = oracle_pandas.assess_frame(pdf).set_index("doc_id").sort_index()
+    assert got["keep"].tolist() == want["keep"].tolist()
+    assert [list(r) for r in got["drop_reasons"]] \
+        == [list(r) for r in want["drop_reasons"]]
+    assert got["text_scrubbed"].tolist() == want["text_scrubbed"].tolist()
