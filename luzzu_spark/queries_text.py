@@ -228,6 +228,25 @@ def scrub_pii_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def quality_score_expr() -> F.Column:
+    """Composite 4-rule quality score in [0, 1] (0.25 per passing rule)
+    over a frame that has token helper columns. Multiples of 0.25 are
+    exact doubles, so SUMs of this score are order-independent — safe
+    to aggregate across engines and partitionings."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    stop_frac = F.try_divide(hits.cast("double"), F.col("n_tokens"))
+    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
+                            lambda acc, t: acc + F.length(t))
+    mwl = F.try_divide(total_len.cast("double"), F.col("n_tokens"))
+    return (
+        0.25 * (F.col("n_chars") >= spec.MIN_DOC_CHARS).cast("double")
+        + 0.25 * (F.col("n_tokens") >= spec.MIN_WORDS).cast("double")
+        + 0.25 * (stop_frac >= spec.MIN_STOPWORD_FRAC).cast("double")
+        + 0.25 * ((mwl >= spec.MEAN_WORD_LEN_LO)
+                  & (mwl <= spec.MEAN_WORD_LEN_HI)).cast("double"))
+
+
 @register("docs_quality_score", oracle=f"""
 SELECT source,
   CAST(ROUND(AVG(
@@ -247,19 +266,7 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (weighted rule-pass sum — Luzzu's
     user-weighted ranking input, README.md:15), averaged per source."""
     d = with_token_columns(_docs(spark, sf_dir))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
-    stop_frac = F.try_divide(hits.cast("double"), F.col("n_tokens"))
-    total_len = F.aggregate("tokens", F.lit(0).cast("long"),
-                            lambda acc, t: acc + F.length(t))
-    mwl = F.try_divide(total_len.cast("double"), F.col("n_tokens"))
-    score = (
-        0.25 * (F.col("n_chars") >= spec.MIN_DOC_CHARS).cast("double")
-        + 0.25 * (F.col("n_tokens") >= spec.MIN_WORDS).cast("double")
-        + 0.25 * (stop_frac >= spec.MIN_STOPWORD_FRAC).cast("double")
-        + 0.25 * ((mwl >= spec.MEAN_WORD_LEN_LO)
-                  & (mwl <= spec.MEAN_WORD_LEN_HI)).cast("double"))
-    return (d.withColumn("q", score)
+    return (d.withColumn("q", quality_score_expr())
             .groupBy("source")
             .agg(F.round(F.avg("q"), 6).alias("avg_quality"),
                  F.count(F.lit(1)).alias("n_docs"))
@@ -356,3 +363,64 @@ def dedup_ngram_jaccard_exact(spark: SparkSession,
             .select("id_a", "id_b",
                     F.round("jaccard_raw", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
+
+
+_SCORE_SQL = f"""(
+    0.25 * CASE WHEN n_chars >= {spec.MIN_DOC_CHARS} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN len({_TOKS}) >= {spec.MIN_WORDS} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN CAST(len(list_filter({_TOKS},
+       x -> list_contains({_SW_SQL}, x))) AS DOUBLE) / len({_TOKS})
+       >= {spec.MIN_STOPWORD_FRAC} THEN 1 ELSE 0 END
+  + 0.25 * CASE WHEN CAST(len(replace(trim(text), ' ', '')) AS DOUBLE)
+       / len({_TOKS}) BETWEEN {spec.MEAN_WORD_LEN_LO}
+       AND {spec.MEAN_WORD_LEN_HI} THEN 1 ELSE 0 END)"""
+
+
+@register("sample_stable_hash", oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE substr(md5(text), 1, 1) = '0'
+GROUP BY lang ORDER BY lang
+""")
+def sample_stable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling (~1/16 of the corpus): the stable way to
+    carve eval/holdout sets at 100 TB. Unlike df.sample(seed=…), whose
+    membership shifts with partitioning and row order, a content-hash
+    predicate is reshard-invariant, re-run-invariant, and pushes down
+    to a plain filter — the same document lands in the same split on
+    every cluster, forever."""
+    d = _docs(spark, sf_dir)
+    return (d.where(F.substring(F.md5("text"), 1, 1) == "0")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+@register("mix_weights_by_source", oracle=f"""
+WITH s AS (SELECT source, SUM({_SCORE_SQL}) AS qs
+           FROM documents GROUP BY source)
+SELECT source,
+       CAST(ROUND(qs / SUM(qs) OVER (), 6) AS DOUBLE) AS mix_weight
+FROM s ORDER BY source
+""")
+def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling weights per source — the
+    data-mixing knob of a training pipeline: each source's weight is
+    its summed quality score over the corpus total, so a sampler can
+    draw documents proportional to aggregate source quality.
+
+    Scale shape: per-doc scores collapse in ONE hash aggregation
+    (map-side partials); the normalizing window then runs over
+    #sources rows only — the empty-frame window is safe BECAUSE it is
+    post-aggregation (never do an OVER () on the raw corpus). Sums of
+    the 0.25-quantized score are exact doubles, so the result is
+    independent of partitioning and summation order."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    s = (d.withColumn("q", quality_score_expr())
+         .groupBy("source").agg(F.sum("q").alias("qs")))
+    from pyspark.sql import Window
+    total = F.sum("qs").over(Window.partitionBy())
+    return (s.select("source",
+                     F.round(F.col("qs") / total, 6).alias("mix_weight"))
+            .orderBy("source"))
