@@ -392,3 +392,23 @@ def pipeline_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp"),
             2.0 * F.col("tp") + F.col("fp") + F.col("fn")), 6)
         .alias("f1"))
+
+
+@register("embed_near_survivors")  # rows-only: LSH-bucketed blocking
+def embed_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup removal end-to-end: hyperplane-LSH
+    blocking → exact-cosine verify (cosine_near_dup_pairs) → exact
+    connected components (min-label propagation) → lowest-id cluster
+    head survives. The embedding twin of dedup_near_survivors (same
+    clustering machinery, different similarity space)."""
+    from luzzu_spark.dedup import near_dup_clusters
+    from luzzu_spark.similarity import cosine_near_dup_pairs
+    e = _emb(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(e, threshold=0.4)
+    clusters = near_dup_clusters(pairs, id_col="vec_id")
+    losers = clusters.where(F.col("vec_id") != F.col("cluster")) \
+        .select(F.col("vec_id").alias("drop_id"))
+    survivors = e.join(losers, e.vec_id == losers.drop_id, "left_anti")
+    return survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.sum("label").cast("long").alias("label_sum"))

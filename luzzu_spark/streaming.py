@@ -73,6 +73,25 @@ def windowed_verdict_counts(assessed: DataFrame, ts_col: str = "warc_ts",
                     "n_docs", "n_keep"))
 
 
+def sliding_event_counts(events: DataFrame, window: str = "10 minutes",
+                         slide: str = "5 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Sliding-window stream agg (each event in window/slide windows);
+    batch twin: queries_scale.events_sliding_10x5. State per open
+    window is bounded by the watermark horizon; the overlap factor
+    (window/slide) multiplies state size — the knob to watch at scale.
+
+    ts arrives as TIMESTAMP_NTZ from the parquet fixture; watermarks
+    require TIMESTAMP, so cast first (UTC session tz → same instant)."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "n_events", "sum_value"))
+
+
 def stream_dedup_urls(pages: DataFrame, ts_col: str = "warc_ts",
                       watermark: str = "30 minutes") -> DataFrame:
     """Seen-URL dedup with bounded state: keeps the first occurrence of

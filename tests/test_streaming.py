@@ -131,3 +131,27 @@ def test_stateful_user_totals(spark, tmp_path):
         F.count(F.lit(1)).alias("n_events"))
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
+
+
+def test_stream_sliding_matches_batch_twin(spark, tmp_path_factory):
+    """Sliding-window stream agg must equal the batch twin
+    (events_sliding_10x5) window for window."""
+    from luzzu_spark import queries_scale  # noqa: F401 — registry
+    from luzzu_spark.queries import queries
+
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.mode("overwrite").parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(path))
+    counts = streaming.sliding_event_counts(stream)
+    _drain(streaming.run_to_memory(counts, "stream_sliding",
+                                   output_mode="complete"))
+    got = spark.table("stream_sliding")
+
+    want = queries()["events_sliding_10x5"](spark, SF)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
