@@ -69,8 +69,11 @@ def sample_training_matrix(embeddings: DataFrame, max_train: int = MAX_TRAIN,
     sel = embeddings.select(F.col(vec_col).alias("v"),
                             F.xxhash64(F.col(id_col)).alias("h"))
     if n > max_train:
-        # keep ≈max_train rows by hash threshold (uniform in [min,max])
-        frac = max_train / n
+        # hash threshold sized for ~1.5× max_train survivors (uniform
+        # hashes in [min,max]); the orderBy(h).limit then trims to
+        # exactly max_train — the margin makes a shortfall vanishingly
+        # unlikely while the executors still prune ~all of the corpus
+        frac = min(1.0, 1.5 * max_train / n)
         lo, hi = -(1 << 63), (1 << 63) - 1
         cut = int(lo + frac * (hi - lo))
         sel = sel.where(F.col("h") <= F.lit(cut))

@@ -287,3 +287,41 @@ def test_ivf_scores_are_true_cosines(spark):
     a2 = sorted((r["vec_id"], r["list_id"]) for r in idx2.collect())
     assert a1 == a2
     assert np.allclose((c1 * c1).sum(axis=1), 1.0)
+
+
+def test_ivf_training_sample_is_bounded_and_deterministic(spark):
+    """With a corpus larger than max_train, the hash-cutoff sample must
+    stay bounded, be storage-order independent, and give both builds
+    identical centroids."""
+    import numpy as np
+    from luzzu_spark import ivf
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m1 = ivf.sample_training_matrix(emb, max_train=100)
+    assert m1.shape == (100, 64)
+    # same rows regardless of partitioning/order
+    m2 = ivf.sample_training_matrix(emb.repartition(7), max_train=100)
+    assert np.array_equal(m1, m2)
+    c = ivf.train_centroids(m1, n_lists=8)
+    assert c.shape == (8, 64)
+    assert np.allclose((c * c).sum(axis=1), 1.0)
+
+
+def test_ivf_recall_at_nprobe(spark):
+    """Recall contract at the catalog's operating point (nprobe=4 of
+    16 cells): most true top-5 neighbors are found, and nprobe beyond
+    n_lists clamps instead of raising."""
+    from luzzu_spark import ivf
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf.ivf_topk(emb, q, k=5, nprobe=4, n_lists=16)
+           .collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
+    # nprobe > n_lists clamps to full probe == exact
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ivf.ivf_topk(emb, q, k=5, nprobe=99, n_lists=8)
+             .collect()}
+    assert exact == truth
