@@ -129,3 +129,29 @@ def test_fuzz_corpus_spark_equals_oracle(spark):
     assert [list(r) for r in got["drop_reasons"]] \
         == [list(r) for r in want["drop_reasons"]]
     assert got["text_scrubbed"].tolist() == want["text_scrubbed"].tolist()
+
+
+def test_salting_spreads_mega_host(spark):
+    """The skew property itself: a host owning 60% of the corpus must
+    NOT land in one partition after salted repartitioning — its rows
+    spread across ~salt_buckets partitions, so no task is a straggler.
+    (The result-equality twin is test_salted_equals_unsalted; this
+    pins the physical spreading that is the point of the salt.)"""
+    n_mega, n_rest = 6000, 4000
+    pdf = pd.DataFrame({
+        "url": ([f"https://mega.example.com/doc/{i}"
+                 for i in range(n_mega)]
+                + [f"https://host{i % 97}.example.com/doc/{i}"
+                   for i in range(n_rest)]),
+        "text": ["some text"] * (n_mega + n_rest),
+    })
+    df = spark.createDataFrame(pdf)
+    salted = salted_repartition(df, num_partitions=32, salt_buckets=16)
+    sizes = (salted.where(F.col("url").contains("//mega."))
+             .groupBy(F.spark_partition_id().alias("pid"))
+             .count().collect())
+    n_parts = len(sizes)
+    biggest = max(r["count"] for r in sizes)
+    assert n_parts >= 8, f"mega-host stuck in {n_parts} partitions"
+    assert biggest < n_mega * 0.25, (
+        f"one partition still holds {biggest}/{n_mega} of the mega-host")

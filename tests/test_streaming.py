@@ -155,3 +155,42 @@ def test_stream_sliding_matches_batch_twin(spark, tmp_path_factory):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Streaming resumability (the streaming twin of ResumableRun):
+    drain part of the input with a checkpointed file sink, stop, land
+    more files, restart with the SAME checkpoint — the second run must
+    process only the new files, and the sink must hold every row
+    exactly once."""
+    base = tmp_path_factory.mktemp("restart")
+    src, sink, ckpt = (str(base / d) for d in ("src", "sink", "ckpt"))
+
+    docs = load_table(spark, SF, "documents")
+    pages = as_webpages(docs)
+    first = pages.where(F.col("doc_id") % 2 == 0)
+    second = pages.where(F.col("doc_id") % 2 == 1)
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def drain_once():
+        stream = streaming.read_page_stream(spark, src, schema,
+                                            max_files_per_trigger=1)
+        assessed = streaming.assess_stream(stream) \
+            .select("url", "keep", "text_scrubbed")
+        q = (assessed.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    # land the second half, restart from the same checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    drain_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == pages.count()          # no loss
+    assert out.select("url").distinct().count() == pages.count()  # no dupes
