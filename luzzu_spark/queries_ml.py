@@ -157,10 +157,47 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-# ---- model UDF ops (rows-only by contract) ------------------------------
+# ---- model UDF ops ------------------------------------------------------
 
-@register("docs_langid")  # rows-only: pandas-UDF model rule
+def _langid_oracle_sql() -> str:
+    """The langid 'model' is pure integer-count math (profile hits /
+    token count, lexicographic-first argmax), so its oracle SQL is
+    GENERATED from the same LANG_PROFILES constants the UDF loads —
+    one source of truth, two engines."""
+    from luzzu_spark.rules.stopwords import LANG_PROFILES
+    langs = sorted(LANG_PROFILES)
+    toks = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+    score_cols = ",\n  ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lg]))
+        + f"], x))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_{lg}"
+        for lg in langs)
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    total = " + ".join(f"s_{lg}" for lg in langs)
+    pred = ("CASE "
+            + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'"
+                       for lg in langs) + " END")
+    return f"""
+WITH t AS (SELECT lang, {toks} AS toks FROM documents),
+s AS (SELECT lang,
+  {score_cols}
+  FROM t),
+p AS (SELECT lang, {best} AS best, {total} AS total, {pred} AS lang_pred
+      FROM s)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(AVG(CASE WHEN total > 0 THEN best / total ELSE 0 END),
+            6) AS DOUBLE) AS avg_conf
+FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+@register("docs_langid", oracle=_langid_oracle_sql())
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy matrix (declared lang × predicted lang)
+    with mean confidence — oracle-checked: the deterministic
+    stopword-profile scorer's math is replayed in SQL from the same
+    profile constants (hits are integers and scores exact ratios, so
+    cross-engine aggregation cannot drift)."""
     from luzzu_spark.rules.langid import with_langid
     d = with_langid(_docs(spark, sf_dir))
     return (d.groupBy("lang", "lang_pred")
@@ -169,8 +206,64 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "lang_pred"))
 
 
-@register("docs_perplexity_hist")  # rows-only: pandas-UDF model rule
+def _perplexity_oracle_sql() -> str:
+    """The char-trigram LM trains at import time from an embedded seed
+    string, so the oracle RE-TRAINS it in SQL from the same literal
+    (positional trigram counts → add-k smoothed log-probs) and scores
+    every document with the same exp(-mean log P) — one source of
+    truth, two engines. Histogram buckets absorb the ~1e-13 relative
+    float drift from differing summation orders (a bucket flips only
+    if a ppl sits within ~1e-10 of an even-integer boundary)."""
+    from luzzu_spark.rules.perplexity import ADD_K, SEED_CORPUS
+    seed = SEED_CORPUS.replace("'", "''")
+    return f"""
+WITH alpha AS (SELECT UNNEST(range(27)) AS c),
+seed AS (SELECT '{seed}' AS s),
+sc AS (SELECT u.pos, CASE WHEN substr(s, u.pos, 1) BETWEEN 'a' AND 'z'
+                          THEN ord(substr(s, u.pos, 1)) - 97
+                          ELSE 26 END AS c
+       FROM seed,
+            (SELECT UNNEST(range(1, len('{seed}') + 1)) AS pos) u),
+tri AS (SELECT a.c AS c1, b.c AS c2, d.c AS c3, COUNT(*) AS cnt
+        FROM sc a JOIN sc b ON b.pos = a.pos + 1
+                  JOIN sc d ON d.pos = a.pos + 2
+        GROUP BY 1, 2, 3),
+model AS (
+  SELECT a1.c AS c1, a2.c AS c2, a3.c AS c3,
+         ln((COALESCE(t.cnt, 0) + {ADD_K})
+            / SUM(COALESCE(t.cnt, 0) + {ADD_K})
+              OVER (PARTITION BY a1.c, a2.c)) AS lp
+  FROM alpha a1 CROSS JOIN alpha a2 CROSS JOIN alpha a3
+  LEFT JOIN tri t ON t.c1 = a1.c AND t.c2 = a2.c AND t.c3 = a3.c),
+dc AS (SELECT doc_id, UNNEST(range(1, len(text) + 1)) AS pos,
+              lower(text) AS s
+       FROM documents),
+dcc AS (SELECT doc_id, pos,
+               CASE WHEN substr(s, pos, 1) BETWEEN 'a' AND 'z'
+                    THEN ord(substr(s, pos, 1)) - 97 ELSE 26 END AS c
+        FROM dc),
+dsum AS (SELECT a.doc_id, SUM(m.lp) AS ll, COUNT(*) AS m
+         FROM dcc a JOIN dcc b ON b.doc_id = a.doc_id
+                                AND b.pos = a.pos + 1
+                    JOIN dcc d ON d.doc_id = a.doc_id
+                                AND d.pos = a.pos + 2
+                    JOIN model m ON m.c1 = a.c AND m.c2 = b.c
+                                AND m.c3 = d.c
+         GROUP BY a.doc_id),
+ppl AS (SELECT doc_id, EXP(-ll / m) AS p FROM dsum)
+SELECT CAST(LEAST(19, GREATEST(0, FLOOR(p / 2))) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ppl GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("docs_perplexity_hist", oracle=_perplexity_oracle_sql())
 def docs_perplexity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity score histogram — oracle-checked end-to-end: the SQL
+    twin re-trains the trigram LM from the embedded seed corpus and
+    replays exp(-mean log P) per document (see _perplexity_oracle_sql).
+    Assumes ascii fixture text (1 codepoint == 1 byte, as the python
+    side's ascii-replace encoding guarantees)."""
     from luzzu_spark.rules.perplexity import with_perplexity
     d = with_perplexity(_docs(spark, sf_dir))
     bucket = F.least(F.lit(19), F.greatest(
@@ -180,9 +273,123 @@ def docs_perplexity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
-@register("pipeline_verdict_counts")  # rows-only: full UDF pipeline
+def _verdict_oracle_sql() -> str:
+    """SQL replay of the ENTIRE keep/drop pipeline: PII injection (same
+    doc_id formula as fixtures.pii_suffix_expr), all six heuristic
+    rules from the frozen RULESPEC constants, the within-doc 13-gram
+    duplicate fraction on gram strings, and the perplexity gate scored
+    by a trigram LM re-trained in SQL from the embedded seed corpus.
+    The langid gate (conf < MIN_LANGID_CONF = 0.0) cannot fire since
+    confidence is non-negative, so it contributes no term. Every
+    threshold is generated from rules/spec.py — one source of truth."""
+    from luzzu_spark.rules import spec
+    from luzzu_spark.rules.perplexity import ADD_K, SEED_CORPUS
+    from luzzu_spark.rules.stopwords import STOPWORDS
+    seed = SEED_CORPUS.replace("'", "''")
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    mwl = ("CAST(len(regexp_replace(f.raw, '\\s+', '', 'g')) AS DOUBLE)"
+           " / NULLIF(len(f.toks), 0)")
+    return f"""
+WITH alpha AS (SELECT UNNEST(range(27)) AS c),
+sc AS (SELECT u.pos, CASE WHEN substr('{seed}', u.pos, 1)
+                               BETWEEN 'a' AND 'z'
+                          THEN ord(substr('{seed}', u.pos, 1)) - 97
+                          ELSE 26 END AS c
+       FROM (SELECT UNNEST(range(1, len('{seed}') + 1)) AS pos) u),
+tri AS (SELECT a.c AS c1, b.c AS c2, d.c AS c3, COUNT(*) AS cnt
+        FROM sc a JOIN sc b ON b.pos = a.pos + 1
+                  JOIN sc d ON d.pos = a.pos + 2 GROUP BY 1, 2, 3),
+model AS (
+  SELECT a1.c AS c1, a2.c AS c2, a3.c AS c3,
+         ln((COALESCE(t.cnt, 0) + {ADD_K})
+            / SUM(COALESCE(t.cnt, 0) + {ADD_K})
+              OVER (PARTITION BY a1.c, a2.c)) AS lp
+  FROM alpha a1 CROSS JOIN alpha a2 CROSS JOIN alpha a3
+  LEFT JOIN tri t ON t.c1 = a1.c AND t.c2 = a2.c AND t.c3 = a3.c),
+injected AS (
+  SELECT doc_id, lang,
+    text || CASE doc_id % 7
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com for details'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                  4, '0') || ' x' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 2 THEN ' served from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      WHEN 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                  4, '0')
+      ELSE '' END AS raw
+  FROM documents),
+dc AS (SELECT doc_id, UNNEST(range(1, len(raw) + 1)) AS pos,
+              lower(raw) AS s FROM injected),
+dcc AS (SELECT doc_id, pos,
+               CASE WHEN substr(s, pos, 1) BETWEEN 'a' AND 'z'
+                    THEN ord(substr(s, pos, 1)) - 97 ELSE 26 END AS c
+        FROM dc),
+dppl AS (SELECT a.doc_id, EXP(-SUM(m.lp) / COUNT(*)) AS ppl
+         FROM dcc a JOIN dcc b ON b.doc_id = a.doc_id
+                                AND b.pos = a.pos + 1
+                    JOIN dcc d ON d.doc_id = a.doc_id
+                                AND d.pos = a.pos + 2
+                    JOIN model m ON m.c1 = a.c AND m.c2 = b.c
+                                AND m.c3 = d.c
+         GROUP BY a.doc_id),
+feat AS (
+  SELECT i.doc_id, i.lang, i.raw,
+         list_filter(string_split(trim(i.raw), ' '), x -> x <> '')
+           AS toks,
+         len(i.raw) AS n_chars, p.ppl
+  FROM injected i LEFT JOIN dppl p ON p.doc_id = i.doc_id),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {spec.NGRAM_N}
+              THEN list_transform(
+                     range(1, len(toks) - {spec.NGRAM_N - 1} + 1),
+                     i -> array_to_string(
+                            toks[i : i + {spec.NGRAM_N - 1}], ' '))
+              ELSE [] END AS g
+  FROM feat),
+dup AS (SELECT doc_id,
+               CASE WHEN len(g) > 0
+                    THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                         / len(g) ELSE 0.0 END AS dup_frac
+        FROM grams),
+verdict AS (
+  SELECT f.lang,
+    NOT (
+      f.n_chars < {spec.MIN_DOC_CHARS}
+      OR len(f.toks) < {spec.MIN_WORDS}
+      OR len(f.toks) > {spec.MAX_WORDS}
+      OR COALESCE({mwl} < {spec.MEAN_WORD_LEN_LO}, FALSE)
+      OR COALESCE({mwl} > {spec.MEAN_WORD_LEN_HI}, FALSE)
+      OR COALESCE(list_max(list_transform(f.toks, x -> len(x))), 0)
+         > {spec.MAX_WORD_LEN}
+      OR COALESCE(CAST(len(regexp_extract_all(f.raw,
+                  '[{spec.SYMBOL_CHARS}]')) AS DOUBLE)
+                  / NULLIF(len(f.toks), 0)
+                  > {spec.MAX_SYMBOL_WORD_RATIO}, FALSE)
+      OR COALESCE(CAST(len(list_filter(f.toks,
+                  x -> list_contains({sw}, x))) AS DOUBLE)
+                  / NULLIF(len(f.toks), 0)
+                  < {spec.MIN_STOPWORD_FRAC}, TRUE)
+      OR d.dup_frac > {spec.MAX_DUP_NGRAM_FRAC}
+      OR COALESCE(f.ppl, 0) > {spec.MAX_PERPLEXITY}
+    ) AS keep
+  FROM feat f JOIN dup d ON d.doc_id = f.doc_id)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM verdict GROUP BY lang ORDER BY lang
+"""
+
+
+@register("pipeline_verdict_counts", oracle=_verdict_oracle_sql())
 def pipeline_verdict_counts(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
+    """Keep/drop counts per language from the FULL pipeline (PII
+    injection + 9-rule verdict incl. both model scorers) — now
+    oracle-checked: the SQL twin replays every stage from the same
+    frozen constants (see _verdict_oracle_sql). The third independent
+    implementation of the verdict, next to the Spark pipeline and the
+    pandas reference labeler."""
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.pipeline import QualityPipeline
     pages = as_webpages(_docs(spark, sf_dir), inject_pii=True)
