@@ -144,10 +144,38 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"))
 
 
-@register("dedup_jaccard_verified")  # rows-only: hash shingles
+@register("dedup_jaccard_verified", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks)-3),
+                  i -> array_to_string(toks[i:i+4], ' ')))) AS s
+       FROM t WHERE len(toks) >= 5),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(n_inter AS DOUBLE)
+            / (sa.n + sb.n - n_inter), 6) AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+ORDER BY id_a, id_b
+""")
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard ≥ 0.8 —
-    the block-then-verify pattern."""
+    the block-then-verify pattern. The oracle is the EXHAUSTIVE ≥ 0.8
+    pair list via an inverted shingle index: block-then-verify must
+    equal it exactly (that equality IS the correctness contract —
+    MinHash recall at the 0.3 blocking threshold must not lose any
+    true ≥ 0.8 pair, and hashed-shingle Jaccard must equal
+    string-shingle Jaccard). A driver mismatch means lost recall or a
+    hash collision, both real defects."""
     docs = _docs(spark, sf_dir)
     cands = dedup.minhash_dedup_pairs(docs, threshold=0.3)
     verified = dedup.ngram_jaccard_pairs(docs,
@@ -273,7 +301,12 @@ def docs_perplexity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
-def _verdict_oracle_sql() -> str:
+def _verdict_oracle_sql(
+        select: str = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM verdict GROUP BY lang ORDER BY lang
+""") -> str:
     """SQL replay of the ENTIRE keep/drop pipeline: PII injection (same
     doc_id formula as fixtures.pii_suffix_expr), all six heuristic
     rules from the frozen RULESPEC constants, the within-doc 13-gram
@@ -375,9 +408,7 @@ verdict AS (
       OR COALESCE(f.ppl, 0) > {spec.MAX_PERPLEXITY}
     ) AS keep
   FROM feat f JOIN dup d ON d.doc_id = f.doc_id)
-SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-FROM verdict GROUP BY lang ORDER BY lang
+{select}
 """
 
 
@@ -553,7 +584,17 @@ def multimodal_image_features(spark: SparkSession,
             .orderBy("pos"))
 
 
-@register("pipeline_confusion_f1")  # rows-only: model-UDF pipeline
+@register("pipeline_confusion_f1", oracle=_verdict_oracle_sql(select="""
+SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(0 AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS tn,
+       CAST(1.0 AS DOUBLE) AS f1
+FROM verdict
+"""))  # oracle asserts PERFECT agreement: fp=fn=0, F1=1.0, with tp/tn
+       # counted by the independent SQL replay of the verdict — a
+       # mismatch means the Spark pipeline and the reference labeler
+       # disagree on some document (or the SQL replay does)
 def pipeline_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop confusion matrix + F1 vs the reference labels — the
     north-rule acceptance metric (BASELINE.json: F1 ≥ 0.99) surfaced
