@@ -168,9 +168,9 @@ def main() -> None:
         "scaling_evidence": {
             "measured_by": "scripts/executor_scaling_bench.py "
                            "(see SCALING.json)",
-            "throughput_1x8core_executor": 27525,
-            "throughput_4x8core_executors": 108031,
-            "efficiency_n_to_4n": 0.981,
+            "throughput_1x8core_executor": 25190,
+            "throughput_4x8core_executors": 99429,
+            "efficiency_n_to_4n": 0.987,
             "target": 0.8,
         },
     }))
