@@ -491,3 +491,60 @@ def q17_small_quantity_revenue(spark: SparkSession,
                             FROM q17_lineitem l2
                             WHERE l2.l_partkey = p_partkey)
     """)
+
+
+@register("q10_returned_item_customers", oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+""")
+def q10_returned_item_customers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — customers ranked by returned-item revenue:
+    a 4-table join where the two dims broadcast, the fact-fact join
+    shuffles on orderkey, and the top-20 runs as TakeOrderedAndProject
+    (no global sort materialized). Revenue rounded to 4 dp: the product
+    sum is order-dependent in the last float bits; 4 dp absorbs it."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(rev, 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@register("q4_priority_late_orders", oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4_priority_late_orders(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — existential semi-join with a non-equi
+    condition: orders having at least one lineitem shipped after the
+    order date, counted per priority. The EXISTS compiles to a
+    LeftSemi join on orderkey with the date predicate in the join
+    condition — each order tests membership once, no row blowup."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(l, (o.o_orderkey == l.l_orderkey)
+                  & (l.l_shipdate > o.o_orderdate), "left_semi")
+    return (semi.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderpriority"))
