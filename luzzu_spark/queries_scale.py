@@ -446,3 +446,37 @@ def agg_percentile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("n_chars", F.lit(0.99)), 6)
                  .alias("p99_chars"))
             .orderBy("lang"))
+
+
+@register("window_distribution_stats", oracle="""
+SELECT doc_id,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(LAST_VALUE(doc_id) OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS longest_doc
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+ORDER BY doc_id
+""")
+def window_distribution_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Distribution analytics per language: ntile quartiles,
+    percent_rank, and the longest doc per group (last_value over the
+    full frame) — the remaining window-function family members. All
+    three share the SAME partition/order keys on purpose, so the plan
+    carries one Exchange and one Sort (a descending first_value twin
+    would force a second sort of every row)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6)
+                    .alias("pct_rank"),
+                    F.last("doc_id").over(wf).cast("long")
+                    .alias("longest_doc"))
+            .orderBy("doc_id"))
