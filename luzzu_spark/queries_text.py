@@ -424,3 +424,75 @@ def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.select("source",
                      F.round(F.col("qs") / total, 6).alias("mix_weight"))
             .orderBy("source"))
+
+
+@register("dedup_cross_doc_spans", oracle="""
+WITH t AS (SELECT doc_id, lang,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+chunks AS (
+  SELECT doc_id, lang, u.i AS chunk_idx,
+         array_to_string(toks[u.i * 20 + 1 : u.i * 20 + 20], ' ') AS span
+  FROM t, (SELECT UNNEST(range(0, 500)) AS i) u
+  WHERE u.i * 20 < len(toks)),
+counts AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+           FROM chunks GROUP BY span),
+kept AS (SELECT c.doc_id, c.lang, c.chunk_idx, c.span,
+                cnt.n_docs > 1 AS dup
+         FROM chunks c JOIN counts cnt ON cnt.span = c.span),
+rebuilt AS (
+  SELECT doc_id, lang,
+         string_agg(CASE WHEN NOT dup THEN span END, ' '
+                    ORDER BY chunk_idx) AS cleaned,
+         SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_removed
+  FROM kept GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_removed) AS BIGINT) AS n_spans_removed,
+       CAST(SUM(len(COALESCE(cleaned, ''))) AS BIGINT) AS chars_after
+FROM rebuilt GROUP BY lang ORDER BY lang
+""")
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span removal (C4-style duplicated-passage scrub):
+    chunk each doc into 20-token spans, drop every span whose exact
+    text occurs in MORE THAN ONE document, and rebuild the remaining
+    text in order — boilerplate/mirrored passages vanish corpus-wide
+    while unique content survives.
+
+    Scale shape: explode spans (≤ corpus token count rows), ONE
+    hash-agg for cross-doc span counts, join back on the span key,
+    then one groupBy-doc rebuild via array_sort(collect_list(struct)).
+    Drop-everywhere (not keep-first) makes the result order- and
+    partitioning-independent — no arbitrary winner. (The DuckDB twin
+    caps chunk index at 500 = 10k tokens/doc; fixture max is 100.)"""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(20)).cast("int")
+    spans = F.when(
+        F.size("toks") > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * 20 + 1, 20), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    ch = d.select("doc_id", "lang",
+                  F.posexplode(spans).alias("chunk_idx", "span"))
+    counts = ch.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    kept = ch.join(counts, "span")
+    rebuilt = kept.groupBy("doc_id", "lang").agg(
+        F.sum((F.col("nd") > 1).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("nd") == 1,
+                           F.struct("chunk_idx", "span")))),
+                lambda s: s["span"]), " ").alias("cleaned"))
+    return (rebuilt.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_removed").cast("long").alias("n_spans_removed"),
+                 F.sum(F.length("cleaned")).cast("long")
+                 .alias("chars_after"))
+            .orderBy("lang"))

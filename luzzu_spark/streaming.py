@@ -154,6 +154,33 @@ def stateful_user_totals(events: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def write_stream_filtered(pages: DataFrame, out_path: str,
+                          checkpoint: str,
+                          pipeline: QualityPipeline | None = None):
+    """Continuous filtered-corpus sink: each micro-batch runs the FULL
+    quality pipeline and appends its kept, scrubbed rows to the corpus
+    directory. foreachBatch (not a plain parquet sink) because the
+    batch is assessed ONCE and could fan out to multiple sinks —
+    metrics/report writers slot in next to the corpus append exactly
+    like the batch ResumableRun. Exactly-once comes from the stream
+    checkpoint: a replayed micro-batch rewrites the same epoch.
+
+    Streaming twin of pipeline.write_filtered + checkpoint.ResumableRun."""
+    import dataclasses
+    pipe = (dataclasses.replace(pipeline, auto_spread=False)
+            if pipeline is not None
+            else QualityPipeline(auto_spread=False))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = pipe.filtered(batch_df)
+        kept.write.mode("append").parquet(out_path)
+
+    return (pages.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_to_memory(df: DataFrame, query_name: str,
                   output_mode: str = "append") -> "object":
     """Drain a stream into an in-memory table (tests/demos): returns the

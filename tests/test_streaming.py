@@ -194,3 +194,23 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
     out = spark.read.parquet(sink)
     assert out.count() == pages.count()          # no loss
     assert out.select("url").distinct().count() == pages.count()  # no dupes
+
+
+def test_stream_filtered_sink_matches_batch(spark, page_dir,
+                                            tmp_path_factory):
+    """foreachBatch filtered-corpus sink: the streamed corpus must
+    equal the batch pipeline's filtered output row-for-row."""
+    base = tmp_path_factory.mktemp("fsink")
+    sink, ckpt = str(base / "corpus"), str(base / "ckpt")
+    batch_pages = spark.read.parquet(page_dir)
+    stream = streaming.read_page_stream(spark, page_dir,
+                                        batch_pages.schema,
+                                        max_files_per_trigger=2)
+    _drain(streaming.write_stream_filtered(stream, sink, ckpt))
+
+    got = spark.read.parquet(sink)
+    want = QualityPipeline(auto_spread=False).filtered(batch_pages)
+    cols = ["url", "text", "lang"]
+    assert got.count() == want.count()
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
