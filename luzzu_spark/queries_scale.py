@@ -480,3 +480,95 @@ def window_distribution_stats(spark: SparkSession,
                     F.last("doc_id").over(wf).cast("long")
                     .alias("longest_doc"))
             .orderBy("doc_id"))
+
+
+def _run_delta_oracle_sql() -> str:
+    """Generated from the same RULESPEC constants and stopword list the
+    Spark side reads — one source of truth, two engines."""
+    from luzzu_spark.rules import spec as _s
+    from luzzu_spark.rules.stopwords import STOPWORDS as _SW
+    toks = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(_SW)) + "]"
+    return f"""
+WITH flags AS (
+  SELECT doc_id % 2 AS run_id,
+         CASE WHEN n_chars < {_s.MIN_DOC_CHARS} THEN 1 ELSE 0 END
+           AS f_short,
+         CASE WHEN len({toks}) < {_s.MIN_WORDS} THEN 1 ELSE 0 END
+           AS f_few,
+         CASE WHEN CAST(len(list_filter({toks},
+              x -> list_contains({sw}, x))) AS DOUBLE)
+              / NULLIF(len({toks}), 0) < {_s.MIN_STOPWORD_FRAC}
+              THEN 1 ELSE 0 END AS f_stop
+  FROM documents),
+rates AS (
+  SELECT run_id,
+         CAST(ROUND(AVG(f_short), 6) AS DOUBLE) AS r_short,
+         CAST(ROUND(AVG(f_few), 6) AS DOUBLE) AS r_few,
+         CAST(ROUND(AVG(f_stop), 6) AS DOUBLE) AS r_stop
+  FROM flags GROUP BY run_id)
+SELECT rule,
+       CAST(ROUND(rate_a, 6) AS DOUBLE) AS rate_a,
+       CAST(ROUND(rate_b, 6) AS DOUBLE) AS rate_b,
+       CAST(ROUND(rate_b - rate_a, 6) AS DOUBLE) AS delta
+FROM (
+  SELECT 'min_chars' AS rule, a.r_short AS rate_a, b.r_short AS rate_b
+  FROM rates a, rates b WHERE a.run_id = 0 AND b.run_id = 1
+  UNION ALL
+  SELECT 'stopword_frac', a.r_stop, b.r_stop
+  FROM rates a, rates b WHERE a.run_id = 0 AND b.run_id = 1
+  UNION ALL
+  SELECT 'word_count', a.r_few, b.r_few
+  FROM rates a, rates b WHERE a.run_id = 0 AND b.run_id = 1)
+ORDER BY rule
+"""
+
+
+@register("metrics_run_delta", oracle=_run_delta_oracle_sql())
+def metrics_run_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run quality drift (daQ temporal view): per-rule firing
+    rates of two assessment runs compared side by side with the delta
+    — the regression alarm a production filter watches between crawl
+    snapshots. Here the even/odd doc_id halves stand in for two runs.
+
+    Scale shape: one pass computes every rule flag, one tiny grouped
+    aggregate per run, and the comparison is a self-join over
+    #runs × #rules rows — corpus text is scanned exactly once. Rates
+    are means of 0/1 flags (exact integer sums / n), so both engines
+    agree bit-for-bit before rounding."""
+    from luzzu_spark.rules import spec as _s
+    from luzzu_spark.rules.stopwords import STOPWORDS as _SW
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    sw = F.array(*[F.lit(w) for w in _SW])
+    n_toks = F.size("toks")
+    stop_frac = F.try_divide(
+        F.size(F.filter("toks", lambda t: F.array_contains(sw, t)))
+        .cast("double"), n_toks)
+    flags = d.select(
+        (F.col("doc_id") % 2).alias("run_id"),
+        (F.col("n_chars") < _s.MIN_DOC_CHARS).cast("int").alias("f_short"),
+        (n_toks < _s.MIN_WORDS).cast("int").alias("f_few"),
+        (stop_frac < _s.MIN_STOPWORD_FRAC).cast("int").alias("f_stop"))
+    rates = flags.groupBy("run_id").agg(
+        F.round(F.avg("f_short"), 6).alias("r_short"),
+        F.round(F.avg("f_few"), 6).alias("r_few"),
+        F.round(F.avg("f_stop"), 6).alias("r_stop"))
+    a = rates.where(F.col("run_id") == 0).drop("run_id")
+    b = rates.where(F.col("run_id") == 1).drop("run_id")
+    rows = []
+    for rule, col in (("min_chars", "r_short"),
+                      ("stopword_frac", "r_stop"),
+                      ("word_count", "r_few")):
+        rows.append(a.select(
+            F.lit(rule).alias("rule"),
+            F.round(F.col(col), 6).alias("rate_a"))
+            .crossJoin(b.select(F.round(F.col(col), 6).alias("rate_b"))))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (out.withColumn("delta",
+                           F.round(F.col("rate_b") - F.col("rate_a"), 6))
+            .orderBy("rule"))

@@ -496,3 +496,62 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("cleaned")).cast("long")
                  .alias("chars_after"))
             .orderBy("lang"))
+
+
+@register("docs_benchmark_contamination", oracle="""
+WITH t AS (SELECT doc_id, lang,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, lang,
+             unnest(CASE WHEN len(toks) >= 13
+                    THEN list_transform(range(1, len(toks) - 11),
+                         i -> array_to_string(toks[i : i + 12], ' '))
+                    ELSE [] END) AS gram
+      FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+contaminated AS (
+  SELECT DISTINCT g.doc_id, g.lang
+  FROM g JOIN bench b ON b.gram = g.gram
+  WHERE g.doc_id >= 5)
+SELECT t.lang,
+       CAST(SUM(CASE WHEN t.doc_id >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated
+FROM t LEFT JOIN contaminated c ON c.doc_id = t.doc_id
+GROUP BY t.lang ORDER BY t.lang
+""")
+def docs_benchmark_contamination(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: training candidates sharing ANY
+    13-gram with the benchmark/eval set (here: docs 0-4 stand in for
+    the eval set) are flagged as contaminated — the n-gram-overlap
+    decontamination standard for LLM training corpora.
+
+    Scale shape: the benchmark's distinct grams are a SMALL set that
+    BROADCASTS; candidates explode grams and left-semi join against
+    it, so the corpus side never shuffles — each task drops clean
+    grams locally. Contamination is per-doc existential (distinct
+    after semi-join)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 13,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 12),
+                    lambda i: F.array_join(F.slice("toks", i, 13), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    bench = g.where(F.col("doc_id") < 5).select("gram").distinct()
+    contaminated = (g.where(F.col("doc_id") >= 5)
+                    .join(F.broadcast(bench), "gram", "left_semi")
+                    .select("doc_id").distinct()
+                    .withColumn("is_cont", F.lit(1)))
+    base = d.select("doc_id", "lang")
+    return (base.join(contaminated, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.sum((F.col("doc_id") >= 5).cast("long"))
+                 .alias("n_candidates"),
+                 F.count("is_cont").alias("n_contaminated"))
+            .orderBy("lang"))
