@@ -325,3 +325,34 @@ def test_ivf_recall_at_nprobe(spark):
              for r in ivf.ivf_topk(emb, q, k=5, nprobe=99, n_lists=8)
              .collect()}
     assert exact == truth
+
+
+def test_near_dup_clusters_random_graph_vs_union_find(spark):
+    """Min-label propagation vs a pure-python union-find reference on a
+    seeded random graph (200 edges / 80 nodes — many components, odd
+    shapes, long chains). Exactness must hold on arbitrary topology,
+    not just the hand-built chain/triangle cases."""
+    import random
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(80), 2)))
+                    for _ in range(200)})
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {n: find(n) for n in sorted(touched)}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster
+           for r in dedup.near_dup_clusters(pairs).collect()}
+    assert got == want
