@@ -44,7 +44,13 @@ def replicated_pages(spark: SparkSession, sf_dir: str,
     replica index, remapping doc_id so every row stays unique (and the
     PII-injection pattern keeps varying). No randomness — same corpus
     every run at a given (sf_dir, factor)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from luzzu_spark.fixtures import spread
+    # spread BEFORE replicating: the fixture parquet is one split, and
+    # an after-the-fact repartition puts the whole ×factor expansion +
+    # PII concat upstream of the shuffle on ~1 task (measured: 500k-doc
+    # pipeline dropped to ~20k docs/s from the serial feed). Spreading
+    # the 5k base rows first keeps the expansion parallel end-to-end.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     if factor > 1:
         n = docs.count()
         reps = spark.range(factor).select(
