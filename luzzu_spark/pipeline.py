@@ -135,7 +135,7 @@ class QualityPipeline:
     def write_filtered(self, pages: DataFrame, path: str,
                        lang_partitioned: bool = True,
                        bucket_table: str | None = None,
-                       n_buckets: int = 16) -> None:
+                       n_buckets: int = 16, fmt: str = "parquet") -> None:
         """Corpus sink: partition by lang (partition pruning for
         downstream per-language training reads); parquet here, Iceberg
         `writeTo(...).append()` in catalog deployments.
@@ -147,18 +147,33 @@ class QualityPipeline:
         bucketed side shuffle-free (only the new batch shuffles; the
         10^12-row corpus never moves — see seen_anti_join and
         tests/test_plans.py). A content_hash column rides along so the
-        same layout serves content-level dedup."""
+        same layout serves content-level dedup.
+
+        fmt: 'parquet' (default) or 'json' (JSON-lines — the interchange
+        format most training stacks ingest; binary columns like html
+        are dropped first, they don't round-trip through JSON). The
+        bucketed-table mode is parquet-only (bucketBy is a table
+        layout)."""
         out = self.filtered(pages).withColumn(
             "content_hash", F.xxhash64("text"))
+        if fmt not in ("parquet", "json"):
+            raise ValueError(f"unsupported corpus sink format: {fmt!r}")
+        if fmt == "json":
+            binary_cols = [f.name for f in out.schema.fields
+                           if f.dataType.simpleString() == "binary"
+                           and f.name != "content_hash"]
+            out = out.drop(*binary_cols)
         writer = out.write.mode("overwrite")
         if lang_partitioned and "lang" in out.columns:
             writer = writer.partitionBy("lang")
         if bucket_table is not None:
+            if fmt != "parquet":
+                raise ValueError("bucket_table mode is parquet-only")
             (writer.option("path", path)
              .bucketBy(n_buckets, "url").sortBy("url")
              .saveAsTable(bucket_table))
         else:
-            writer.parquet(path)
+            writer.format(fmt).save(path)
 
     def write_reports(self, assessed: DataFrame, path: str,
                       run_id: str) -> None:

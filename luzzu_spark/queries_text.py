@@ -555,3 +555,67 @@ def docs_benchmark_contamination(spark: SparkSession,
                  .alias("n_candidates"),
                  F.count("is_cont").alias("n_contaminated"))
             .orderBy("lang"))
+
+
+_U6_SQL = ("(CAST(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+    f" * {16 ** i}" for i in range(6)) + " AS DOUBLE) / 16777216.0)")
+
+
+@register("sample_quality_mix", oracle=f"""
+WITH s AS (SELECT source, SUM({_SCORE_SQL}) AS qs,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+tot AS (SELECT SUM(qs) AS total_qs, SUM(n) AS big_n FROM s),
+plan AS (SELECT s.source, s.n,
+                LEAST(1.0, 0.5 * tot.big_n * s.qs / tot.total_qs / s.n)
+                  AS p
+         FROM s CROSS JOIN tot),
+marked AS (SELECT d.source,
+                  CASE WHEN {_U6_SQL} < p.p THEN 1 ELSE 0 END AS kept
+           FROM documents d JOIN plan p ON p.source = d.source)
+SELECT m.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(ROUND(MAX(p.p), 6) AS DOUBLE) AS keep_prob
+FROM marked m JOIN plan p ON p.source = m.source
+GROUP BY m.source ORDER BY m.source
+""")
+def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling, EXECUTED: each source gets a
+    keep probability proportional to its aggregate quality (target
+    fraction 0.5 of the corpus), and documents are kept by comparing a
+    content-hash uniform against it — the deterministic materialization
+    of mix_weights_by_source. Same document → same split on any
+    cluster, any partitioning, forever (no RNG, no sampleBy seed).
+
+    Cross-engine bit-discipline: keep probabilities derive from exact
+    sums (0.25-quantized scores, integer counts) through an identical
+    left-associative expression tree, and the uniform is an exact
+    dyadic rational from six md5 hex digits — so the < comparison
+    agrees on every row in both engines."""
+    d = with_token_columns(_docs(spark, sf_dir))
+    s = (d.withColumn("q", quality_score_expr())
+         .groupBy("source")
+         .agg(F.sum("q").alias("qs"),
+              F.count(F.lit(1)).alias("n")))
+    tot = s.agg(F.sum("qs").alias("total_qs"),
+                F.sum("n").alias("big_n"))
+    plan = (s.crossJoin(F.broadcast(tot))
+            .select("source", "n",
+                    F.least(F.lit(1.0),
+                            F.lit(0.5) * F.col("big_n") * F.col("qs")
+                            / F.col("total_qs") / F.col("n"))
+                    .alias("p")))
+    m = F.md5("text")
+    u = sum((F.instr(F.lit("0123456789abcdef"),
+                     F.substring(m, i + 1, 1)) - 1) * (16 ** i)
+            for i in range(6)).cast("double") / F.lit(16777216.0)
+    marked = (d.select("source", u.alias("u"))
+              .join(F.broadcast(plan), "source")
+              .withColumn("kept", (F.col("u") < F.col("p")).cast("long")))
+    return (marked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("kept").cast("long").alias("n_kept"),
+                 F.round(F.max("p"), 6).alias("keep_prob"))
+            .orderBy("source"))

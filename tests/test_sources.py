@@ -91,3 +91,30 @@ def test_read_corpus_file_list(spark, tmp_path):
     files = spark.read.parquet(p).inputFiles()
     part = read_corpus(spark, files[:2])
     assert 0 < part.count() < docs.count()
+
+
+def test_write_filtered_jsonl_roundtrip(spark, pages, tmp_path):
+    """JSONL corpus sink: kept rows round-trip through JSON-lines with
+    identical url/text/lang content (binary columns dropped — they
+    don't survive JSON), readable back through read_corpus with a
+    declared schema."""
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_corpus
+
+    out = str(tmp_path / "corpus_jsonl")
+    pipe = QualityPipeline()
+    pipe.write_filtered(pages, out, fmt="json")
+
+    want = pipe.filtered(pages).select("url", "text", "lang")
+    schema = ("url string, warc_ts timestamp, lang string, "
+              "lang_pred string, doc_id long, source string, "
+              "text string, rule_scores map<string,double>, "
+              "content_hash long")
+    import glob
+    files = sorted(glob.glob(out + "/lang=*/*.json"))
+    assert files, "jsonl sink wrote no files"
+    got = read_corpus(spark, files, fmt="json", schema=schema) \
+        .select("url", "text")
+    w = want.select("url", "text")
+    assert got.count() == want.count()
+    assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0
