@@ -78,14 +78,24 @@ def sniff_format(path: str) -> str:
 
 def read_corpus(spark: SparkSession, path: str | list[str],
                 schema: StructType | str | None = None,
-                fmt: str | None = None) -> DataFrame:
+                fmt: str | None = None,
+                keep_corrupt: bool = False) -> DataFrame:
     """Read a corpus table from any supported serialization.
 
     path: one dir/file or an explicit file list (the resumable runner
     reads each committed batch by its planned file chunk). schema is
     required for json/csv (declared, never inferred); parquet carries
     its own. CSV assumes a header row matching the schema's column
-    order."""
+    order. Compressed files (.json.gz etc.) decode transparently via
+    Hadoop codecs.
+
+    keep_corrupt (json/csv): crawl feeds contain garbage lines; with
+    True, malformed rows land with their raw bytes in a
+    `_corrupt_record` column (PERMISSIVE mode) instead of silently
+    nulling — the caller routes them to a quarantine sink, mirroring
+    how the quality pipeline reports problems instead of crashing
+    (Luzzu's malformed-quad stance, SURVEY.md §2.2). With False,
+    malformed rows are DROPPED outright."""
     paths = path if isinstance(path, (list, tuple)) else [path]
     fmt = fmt or sniff_format(paths[0])
     if fmt == "iceberg":
@@ -102,7 +112,19 @@ def read_corpus(spark: SparkSession, path: str | list[str],
     if schema is None:
         raise ValueError(f"{fmt} reads require a declared schema "
                          "(inference is nondeterministic under sampling)")
-    reader = spark.read.schema(schema)
+    if keep_corrupt:
+        if isinstance(schema, str):
+            schema = schema + ", _corrupt_record string"
+        else:
+            from pyspark.sql.types import StringType, StructField
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_corrupt_record", StringType())])
+        reader = (spark.read.schema(schema)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    else:
+        reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
     if fmt == "json":
         return reader.json(list(paths))
     if fmt == "csv":

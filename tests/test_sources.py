@@ -118,3 +118,37 @@ def test_write_filtered_jsonl_roundtrip(spark, pages, tmp_path):
     w = want.select("url", "text")
     assert got.count() == want.count()
     assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0
+
+
+def test_read_corpus_malformed_json_rows(spark, tmp_path):
+    """Crawl-feed garbage handling: malformed JSON lines are dropped by
+    default, or quarantined with their raw bytes under keep_corrupt —
+    never a crash, never silent nulls."""
+    import gzip
+    p = tmp_path / "feed.json"
+    lines = ['{"doc_id": 1, "text": "good row one", "lang": "en"}',
+             '{broken json!!',
+             '{"doc_id": 2, "text": "good row two", "lang": "en"}',
+             'total garbage',
+             '{"doc_id": 3, "text": "good row three", "lang": "fr"}']
+    p.write_text("\n".join(lines) + "\n")
+    schema = "doc_id long, text string, lang string"
+
+    from luzzu_spark.sources import read_corpus
+    clean = read_corpus(spark, str(p), schema=schema, fmt="json")
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 3]
+
+    kept = read_corpus(spark, str(p), schema=schema, fmt="json",
+                       keep_corrupt=True)
+    rows = kept.collect()
+    assert len(rows) == 5
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert sorted(r._corrupt_record for r in bad) \
+        == ["total garbage", "{broken json!!"]
+
+    # gz round-trip: Hadoop codec decodes transparently
+    gz = tmp_path / "feed2.json.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    gz_clean = read_corpus(spark, str(gz), schema=schema, fmt="json")
+    assert sorted(r.doc_id for r in gz_clean.collect()) == [1, 2, 3]
