@@ -41,8 +41,60 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# ---------------------------------------------------------------------
+# Driver verification window (VERDICT r02 item 1).
+#
+# The driver hash-checks exactly the FIRST 50 entries of queries() in
+# iteration order, so registration order IS the verification budget.
+# This list pins the round-3 window explicitly instead of relying on
+# import order: (a) the 16 queries never driver-checked in r01/r02,
+# (b) the 11 checked only in r01 (re-green after two rounds away),
+# (c) the two queries whose shuffle keys were rewritten this round
+#     (hash-keyed spans/grams — must re-verify),
+# (d) the r02-only batch, then high-value twice-green model replays.
+# Everything past 50 is twice-green relational ops and rows-only
+# sketch ops that already hold driver rows from r01+r02.
+# ---------------------------------------------------------------------
+_WINDOW: tuple[str, ...] = (
+    # (a) never driver-checked (oracle-matched locally)
+    "grouped_source_stats", "text_line_stats", "events_session_counts",
+    "window_range_time_sum", "docs_chars_histogram",
+    "join_asof_event_order", "events_sliding_10x5",
+    "agg_pivot_source_lang", "agg_percentile_chars",
+    "window_distribution_stats", "metrics_run_delta",
+    "pipeline_confusion_f1", "multimodal_frame_hashes",
+    "multimodal_image_features",
+    # (a) never driver-checked (rows-only by contract)
+    "dedup_near_survivors", "embed_near_survivors",
+    # (b) checked in r01 only
+    "agg_salted_by_source", "join_salted_docs_dims",
+    "agg_cube_lang_source", "window_top2_docs_per_source",
+    "supplier_revenue_by_nation", "part_type_price_stats",
+    "set_union_lang_counts", "agg_approx_distinct",
+    "dedup_embedding_cosine", "pipeline_rank_sources",
+    "dedup_simhash_near",
+    # (c) rewritten this round — fixed-width hash shuffle keys
+    "dedup_cross_doc_spans", "docs_benchmark_contamination",
+    # (new this round)
+    "embed_lsh_multiprobe_topk",
+    # (d) checked in r02 only
+    "q17_small_quantity_revenue", "q10_returned_item_customers",
+    "q4_priority_late_orders", "text_bpe_token_counts",
+    "dedup_ngram_jaccard_exact", "sample_stable_hash",
+    "mix_weights_by_source", "sample_quality_mix",
+    # twice-green model/scrub replays — highest re-verify value
+    "pipeline_verdict_counts", "docs_langid", "docs_perplexity_hist",
+    "scrub_pii_identity", "docs_quality_score", "dedup_jaccard_verified",
+    "dedup_exact_survivors", "embed_cosine_topk",
+    "multimodal_binary_stats", "text_quality_flag_counts",
+    "q1_pricing_summary", "events_tumbling_10min",
+)
+
+
 def queries() -> dict[str, SparkQuery]:
-    return dict(_QUERIES)
+    ordered = {n: _QUERIES[n] for n in _WINDOW if n in _QUERIES}
+    ordered.update((n, f) for n, f in _QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -91,6 +91,21 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk")
 
 
+@register("embed_lsh_multiprobe_topk")  # rows-only: hash-seeded buckets
+def embed_lsh_multiprobe_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (VERDICT r02 item 5): each query probes
+    its bucket plus the 2 Hamming-1 buckets across its lowest-|margin|
+    planes — measured recall lift over single-probe is pinned in
+    tests/test_dedup_similarity.py. Rows-only: buckets are
+    hash-seeded; scores are exact cosines (subset-of-brute-force
+    contract shared with embed_lsh_topk)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    return similarity.lsh_multiprobe_topk(e, q, k=5, probes=2).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rnk")
+
+
 @register("embed_ivf_topk")  # rows-only: k-means cells are model-derived
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k — the second ANN scale path: k-means

@@ -551,7 +551,12 @@ def metrics_run_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("run_id"),
         (F.col("n_chars") < _s.MIN_DOC_CHARS).cast("int").alias("f_short"),
         (n_toks < _s.MIN_WORDS).cast("int").alias("f_few"),
-        (stop_frac < _s.MIN_STOPWORD_FRAC).cast("int").alias("f_stop"))
+        # empty-doc semantics pinned (ADVICE r02): try_divide by zero
+        # tokens yields NULL, which F.avg would SKIP while the oracle's
+        # CASE … ELSE 0 counts the doc in the denominator — coalesce to
+        # 0 so a zero-token doc is "not firing" on both engines
+        F.coalesce((stop_frac < _s.MIN_STOPWORD_FRAC).cast("int"),
+                   F.lit(0)).alias("f_stop"))
     rates = flags.groupBy("run_id").agg(
         F.round(F.avg("f_short"), 6).alias("r_short"),
         F.round(F.avg("f_few"), 6).alias("r_few"),

@@ -88,6 +88,32 @@ def _bucket_udf(planes: int = LSH_PLANES):
     return f.asNondeterministic()
 
 
+def _probe_buckets_udf(planes: int, probes: int):
+    """Multi-probe bucket list for QUERY vectors: the base bucket plus
+    the `probes` Hamming-distance-1 buckets obtained by flipping the
+    lowest-|margin| planes — the planes the vector sits closest to,
+    i.e. exactly where a near-neighbor most likely fell on the other
+    side. Deterministic: stable argsort of |projection margin| with
+    ties broken by plane index; no RNG (VERDICT r02 item 5)."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = _mat(v)
+        W = _plane_matrix(V.shape[1], planes)
+        proj = V @ W                       # (n, planes) signed margins
+        base = ((proj > 0).astype(np.int64)
+                << np.arange(planes)).sum(axis=1)
+        p = min(probes, planes)
+        order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :p]
+        flips = base[:, None] ^ (np.int64(1) << order)
+        out = np.concatenate([base[:, None], flips], axis=1)
+        return pd.Series([row.tolist() for row in out])
+    return f.asNondeterministic()
+
+
 # scoring UDF is filtered on (sim >= t, rnk <= k): keep it out of
 # pushed predicates
 _cosine_udf = _cosine_udf.asNondeterministic()
@@ -151,6 +177,39 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .orderBy("query_id", "rnk"))
 
 
+def lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 5, probes: int = 2,
+                        planes: int = LSH_PLANES,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query scores its own bucket
+    PLUS the `probes` buckets across its lowest-|margin| hyperplanes
+    (Hamming distance 1). Recall rises toward brute force as `probes`
+    grows while per-query work stays (1 + probes) buckets — the
+    standard multi-probe trade, vs raising `planes` which shrinks all
+    buckets and costs recall. The corpus side is UNCHANGED (one bucket
+    per vector, same single assignment pass as lsh_topk); only the
+    tiny broadcast query side explodes to its probe list, so the plan
+    shape — broadcast join, no corpus shuffle — is identical."""
+    emb_b = embeddings.withColumn("bucket", hyperplane_bucket(vec_col,
+                                                              planes))
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+        .withColumn("bucket", F.explode(
+            _probe_buckets_udf(planes, probes)(F.col("qvec")))))
+    scored = (emb_b.join(q, "bucket")
+              .where(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine_expr(F.col("qvec"),
+                                  F.col(vec_col)).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .orderBy("query_id", "rnk"))
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
@@ -164,7 +223,8 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     the explicit repartition on the bucket key shares ONE exchange
     across both self-join sides, so the bucket UDF runs once.
     Recall < 1 by design (sign-LSH misses some near-pairs across a
-    plane); raise `planes` bands or multi-probe for higher recall.
+    plane); for higher recall use the multi-probe variant
+    (lsh_multiprobe_topk's probe expansion applies the same way).
     Unsorted — deterministic sort lives in the catalog wrapper."""
     b = (embeddings.withColumn("bucket", hyperplane_bucket(vec_col))
          .repartition(F.col("bucket")))

@@ -92,6 +92,62 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
         assert abs(bf[key] - r["sim"]) < 1e-9
 
 
+def test_lsh_multiprobe_recall_lift(spark):
+    """Multi-probe sign-LSH (VERDICT r02 item 5): probing the query's
+    bucket PLUS the Hamming-1 buckets across its 2 lowest-|margin|
+    planes must recover planted twins that single-probe loses across a
+    hyperplane. Fully deterministic: splitmix64-derived perturbation
+    sized (0.15·‖v‖/√dim per coord) so some twins straddle a plane —
+    measured here: single-probe twin recall 0.80, probes=2 recall 1.0."""
+    import numpy as np
+    import pandas as pd
+    from luzzu_spark.similarity import _splitmix64_vec
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.toPandas()
+    nq = 40
+    tw = base.head(nq).copy()
+    tw["vec_id"] = tw["vec_id"] + 100000
+
+    def perturb(row):
+        v = np.array(row["embedding"], dtype=np.float64)
+        idx = (np.arange(len(v), dtype=np.uint64)
+               + np.uint64(int(row["vec_id"]) * 1000))
+        with np.errstate(over="ignore"):
+            h = _splitmix64_vec(idx)
+        noise = ((h % np.uint64(2000)).astype(np.float64) - 1000.0) / 1000.0
+        return (v + 0.15 * np.linalg.norm(v) / np.sqrt(len(v))
+                * noise).tolist()
+
+    tw["embedding"] = tw.apply(perturb, axis=1)
+    both = spark.createDataFrame(pd.concat([base, tw]), schema=emb.schema)
+    q = both.where(F.col("vec_id") < nq)
+
+    def twin_recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum((i + 100000) in got.get(i, set())
+                   for i in range(nq)) / nq
+
+    single = twin_recall(similarity.lsh_topk(both, q, k=5))
+    multi = twin_recall(similarity.lsh_multiprobe_topk(both, q, k=5,
+                                                       probes=2))
+    assert single < 1.0, "perturbation no longer straddles any plane"
+    assert multi > single, (single, multi)
+    assert multi >= 0.95, multi
+
+    # multi-probe answers still carry EXACT cosine scores (the
+    # subset-of-brute-force contract shared with lsh_topk)
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+          for r in similarity.brute_force_topk(both, q, k=2000).collect()}
+    for r in similarity.lsh_multiprobe_topk(both, q, k=5,
+                                            probes=2).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in bf
+        assert abs(bf[key] - r["sim"]) < 1e-9
+
+
 def test_cosine_near_dup_pairs_planted(spark):
     """The fixture's vectors are near-orthogonal (max pairwise sim
     ≈ 0.48), so near-dups are PLANTED: 20 vectors get a slightly

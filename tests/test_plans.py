@@ -158,6 +158,30 @@ def test_ngram_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_no_text_typed_shuffle_keys(spark):
+    """VERDICT r02 items 2-3: the cross-doc span scrub and the
+    benchmark-decontamination check must shuffle/join on FIXED-WIDTH
+    md5 digests — raw span/gram/text columns may never be
+    partitioning keys (at corpus scale that ships the whole text body
+    through the wire as keys). Same regex the fleet-wide audit
+    (scripts/plan_audit.py) applies to every catalog query."""
+    import re
+
+    import scripts.plan_audit as audit_mod
+    from luzzu_spark import queries_text  # noqa: F401 — registry import
+    from luzzu_spark.queries import queries
+
+    for name in ("dedup_cross_doc_spans", "docs_benchmark_contamination"):
+        plan = _plan(queries()[name](spark, SF))
+        offenders = audit_mod._text_shuffle_keys(plan)
+        assert not offenders, f"{name}: {offenders}"
+
+    # the span-count pass actually keys on the md5 digest
+    span_plan = _plan(queries()["dedup_cross_doc_spans"](spark, SF))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)", span_plan)
+    assert any("span_key#" in k for k in keys), span_plan
+
+
 def test_q17_subquery_is_decorrelated(spark):
     """The correlated scalar subquery must decorrelate into a
     per-partkey aggregate + join (one extra shuffle), not a per-row
