@@ -69,12 +69,16 @@ def run_noop(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
-def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+def bench_pipeline(spark: SparkSession,
+                   sf_dir: str) -> tuple[float, float, int]:
     """Steady-state pipeline throughput: run the identical job twice and
     time the second. The first run pays JVM JIT + Arrow/Python worker
     spin-up (measured 55 s cold vs 5 s warm on the same input); the
     steady-state number is the one that extrapolates to a long-running
-    cluster job."""
+    cluster job. Returns (min_of_3, first_single_trial, n_docs): the
+    single-trial number is reported alongside so round-over-round
+    deltas can't be attributed to the r02 trial-count change
+    (VERDICT r02 item 9)."""
     from luzzu_spark.pipeline import QualityPipeline
     pages = replicated_pages(spark, sf_dir, REPLICATE)
     n_docs = pages.count()  # cached metadata read; excluded from timing
@@ -82,8 +86,8 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int]:
     run_noop(assessed)      # warm-up
     # min of three timed runs: host noise swings identical jobs 2-3×,
     # and the headline docs/sec number derives from this leg
-    sec = min(run_noop(assessed) for _ in range(3))
-    return sec, n_docs
+    trials = [run_noop(assessed) for _ in range(3)]
+    return min(trials), trials[0], n_docs
 
 
 def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
@@ -116,6 +120,31 @@ def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
     return min(trial(), trial())
 
 
+def _latest_scaling_run() -> dict:
+    """Surface the most recent executor-scaling measurement from
+    SCALING.json (the machine-readable history scripts/
+    executor_scaling_bench.py appends to). Reading at print time keeps
+    bench output from restating measurements it didn't make."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+        last = hist["runs"][-1]
+    except (OSError, KeyError, IndexError, ValueError):
+        return {"measured_by": "scripts/executor_scaling_bench.py",
+                "note": "no SCALING.json history found"}
+    return {
+        "measured_by": "scripts/executor_scaling_bench.py "
+                       "(latest entry of SCALING.json runs)",
+        "throughput_1x8core_executor": last["throughput_1_executor"],
+        "throughput_4x8core_executors":
+            last["throughput_4_executors_aggregate"],
+        "efficiency_n_to_4n": last["efficiency"],
+        "target": 0.8,
+    }
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("luzzu_spark_bench", master=f"local[{cpus}]")
@@ -138,7 +167,7 @@ def main() -> None:
     catalog["q1_pricing_summary"](spark, SF_DIR).write \
         .mode("overwrite").format("noop").save()
 
-    sec, n_docs = bench_pipeline(spark, SF_DIR)
+    sec, sec_single, n_docs = bench_pipeline(spark, SF_DIR)
     timings["pipeline_full_filter"] = round(sec, 3)
     docs_per_sec = round(n_docs / sec, 1)
 
@@ -166,20 +195,18 @@ def main() -> None:
         "sf": sf_val,
         "docs_filtered": n_docs,
         "docs_per_sec": docs_per_sec,
+        # apples-to-apples with r01's single-trial methodology
+        # (VERDICT r02 item 9): the same pipeline job's FIRST warm
+        # trial, before min-of-3 damping
+        "pipeline_single_trial_sec": round(sec_single, 3),
+        "docs_per_sec_single_trial": round(n_docs / sec_single, 1),
         "replicate_factor": REPLICATE,
         "cpus": int(cpus),
         # the north rule's two-cluster-size criterion is measured by a
         # separate exclusive-box harness (separate pinned executor
-        # JVMs); latest measured run surfaced here, full history +
-        # methodology in SCALING.json / BASELINE.md
-        "scaling_evidence": {
-            "measured_by": "scripts/executor_scaling_bench.py "
-                           "(see SCALING.json)",
-            "throughput_1x8core_executor": 25190,
-            "throughput_4x8core_executors": 99429,
-            "efficiency_n_to_4n": 0.987,
-            "target": 0.8,
-        },
+        # JVMs); the LATEST recorded run is read from SCALING.json at
+        # print time (never restated from constants — ADVICE r02)
+        "scaling_evidence": _latest_scaling_run(),
     }))
     spark.stop()
 

@@ -58,26 +58,33 @@ def _unit_rows(M: np.ndarray) -> np.ndarray:
 def sample_training_matrix(embeddings: DataFrame, max_train: int = MAX_TRAIN,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic bounded sample of corpus vectors for training.
+    """Deterministic bounded sample of corpus vectors for training:
+    the max_train globally-smallest xxhash64(id) values — a uniform
+    sample independent of storage order and partitioning.
 
-    xxhash64-ranked take: every executor filters to the `max_train`
-    smallest hash values (uniform sample independent of storage order),
-    so the driver receives at most max_train vectors regardless of
-    corpus size. One extra count() job sizes the hash cutoff; at
-    fixture scale the filter passes everything."""
-    n = embeddings.count()
+    ONE job, no count() (VERDICT r02 item 7): each partition first
+    prunes itself to its local max_train smallest hashes inside
+    mapInPandas (vectorized nsmallest per Arrow batch — every element
+    of the global top-max_train is necessarily in its partition's
+    top-max_train, so the union is a provable superset regardless of
+    how rows are partitioned), then one TakeOrdered trims the ≤
+    partitions × max_train survivors to exactly max_train. Same
+    survivor set as the old count()+cutoff path, one job shorter, and
+    still partitioning-independent."""
     sel = embeddings.select(F.col(vec_col).alias("v"),
                             F.xxhash64(F.col(id_col)).alias("h"))
-    if n > max_train:
-        # hash threshold sized for ~1.5× max_train survivors (uniform
-        # hashes in [min,max]); the orderBy(h).limit then trims to
-        # exactly max_train — the margin makes a shortfall vanishingly
-        # unlikely while the executors still prune ~all of the corpus
-        frac = min(1.0, 1.5 * max_train / n)
-        lo, hi = -(1 << 63), (1 << 63) - 1
-        cut = int(lo + frac * (hi - lo))
-        sel = sel.where(F.col("h") <= F.lit(cut))
-    rows = sel.orderBy("h").limit(max_train).collect()
+
+    def local_topk(batches):
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf),
+                                                      ignore_index=True)
+            best = cand.nsmallest(max_train, "h")
+        if best is not None and len(best):
+            yield best
+
+    pruned = sel.mapInPandas(local_topk, schema=sel.schema)
+    rows = pruned.orderBy("h").limit(max_train).collect()
     return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
@@ -158,9 +165,9 @@ def build_index(embeddings: DataFrame, n_lists: int = N_LISTS,
     """Assign every corpus vector to its Voronoi cell.
 
     Returns (indexed_frame, centroids); indexed_frame adds `list_id`.
-    Production would persist the frame partitioned by list_id so
-    searches prune cells at scan time; here the cell join does the
-    pruning."""
+    Persist with persist_index(...) for the production layout where
+    searches (ivf_topk_over_index) prune cells at SCAN time; the
+    in-memory path prunes at join time instead."""
     if centroids is None:
         centroids = train_centroids(
             sample_training_matrix(embeddings, id_col=id_col,
@@ -168,6 +175,29 @@ def build_index(embeddings: DataFrame, n_lists: int = N_LISTS,
     indexed = embeddings.withColumn(
         "list_id", _assign_udf(centroids)(F.col(vec_col)))
     return indexed, centroids
+
+
+def _probed_queries(queries: DataFrame, centroids: np.ndarray,
+                    nprobe: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    return (queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec"))
+            .withColumn("list_id", F.explode(
+                _probe_udf(centroids, nprobe)(F.col("qvec")))))
+
+
+def _score_probed(indexed: DataFrame, q: DataFrame, k: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    from luzzu_spark.similarity import cosine_expr
+    scored = (indexed.join(F.broadcast(q), "list_id")
+              .where(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine_expr(F.col("qvec"),
+                                  F.col(vec_col)).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -179,19 +209,39 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Each query scans only its `nprobe` nearest cells. nprobe == n_lists
     probes everything (exact == brute_force_topk). Unsorted — the
     deterministic sort lives in the catalog wrapper."""
-    from luzzu_spark.similarity import cosine_expr
     indexed, centroids = build_index(embeddings, n_lists, id_col, vec_col,
                                      centroids)
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qvec"))
-         .withColumn("list_id", F.explode(
-             _probe_udf(centroids, nprobe)(F.col("qvec")))))
-    scored = (indexed.join(F.broadcast(q), "list_id")
-              .where(F.col("query_id") != F.col(id_col))
-              .select("query_id", F.col(id_col).alias("neighbor_id"),
-                      cosine_expr(F.col("qvec"),
-                                  F.col(vec_col)).alias("sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= k))
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    return _score_probed(indexed, q, k, id_col, vec_col)
+
+
+def persist_index(indexed: DataFrame, path: str) -> None:
+    """Write the indexed corpus PARTITIONED BY list_id — the production
+    layout (VERDICT r02 item 6): each Voronoi cell is its own
+    partition directory, so a search against the persisted index reads
+    only its nprobe cell directories (partition pruning at SCAN time —
+    the 100 TB win the join-time pruning path only approximates).
+    One-time cost: the write shuffles on list_id (fixed-width int)."""
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_over_index(spark, index_path: str, queries: DataFrame,
+                        centroids: np.ndarray, k: int = 5,
+                        nprobe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted IVF index with scan-time cell pruning.
+
+    The probe lists come from the (small) query set: one bounded
+    collect of ≤ n_queries × nprobe cell ids — kilobytes, the same
+    driver-side budget class as the centroid matrix — pushed into the
+    scan as a `list_id IN (…)` partition filter, so only the probed
+    cell DIRECTORIES are opened (PartitionFilters in the plan; pinned
+    in tests/test_plans.py). Results are identical to ivf_topk with
+    the same centroids/nprobe — only the pruning moves from join time
+    to scan time."""
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    lists = sorted({r["list_id"]
+                    for r in q.select("list_id").distinct().collect()})
+    corpus = (spark.read.parquet(index_path)
+              .where(F.col("list_id").isin(lists)))
+    return _score_probed(corpus, q, k, id_col, vec_col)

@@ -74,24 +74,35 @@ def _meta_fn(strict: bool) -> Callable:
 def _feature_fn(strict: bool) -> Callable:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for url, payload in zip(pdf["url"], pdf["payload"]):
-                payload = bytes(payload or b"")
-                if not payload or len(payload) > MAX_PAYLOAD_BYTES:
-                    rows.append((url, False, [0.0] * IMAGE_FEATURE_DIM))
-                    continue
-                if strict:
-                    raise NotImplementedError(
-                        "featurizer not available; plug a real model "
-                        "forward pass here")
-                # fake featurizer: byte-histogram mass per 32-value
-                # bucket — numpy-vectorized, deterministic
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 5,
-                                   minlength=IMAGE_FEATURE_DIM)
-                feat = (hist / max(arr.size, 1)).astype(np.float32)
-                rows.append((url, True, feat.tolist()))
-            yield pd.DataFrame(rows, columns=["url", "ok", "feature"])
+            # per-item work here is ONLY the codec-slot boundary
+            # (payload byte access); the featurizer itself is one
+            # vectorized pass per Arrow batch (VERDICT r02 item 8):
+            # concatenate valid payloads, bucket every byte into
+            # segment*DIM + (byte>>5), ONE np.bincount for the whole
+            # batch, reshape to (n_valid, DIM). Identical values to the
+            # per-payload bincount (both accumulate in input order).
+            payloads = [bytes(p or b"") for p in pdf["payload"]]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            ok = (lens > 0) & (lens <= MAX_PAYLOAD_BYTES)
+            if strict and bool(ok.any()):
+                raise NotImplementedError(
+                    "featurizer not available; plug a real model "
+                    "forward pass here")
+            feats = np.zeros((len(payloads), IMAGE_FEATURE_DIM),
+                             dtype=np.float32)
+            sel = np.flatnonzero(ok)
+            if sel.size:
+                buf = np.frombuffer(
+                    b"".join(payloads[i] for i in sel), dtype=np.uint8)
+                seg = np.repeat(np.arange(sel.size), lens[sel])
+                hist = np.bincount(
+                    seg * IMAGE_FEATURE_DIM + (buf >> 5),
+                    minlength=sel.size * IMAGE_FEATURE_DIM,
+                ).reshape(sel.size, IMAGE_FEATURE_DIM)
+                feats[sel] = (hist / lens[sel, None]).astype(np.float32)
+            yield pd.DataFrame({"url": pdf["url"],
+                                "ok": ok,
+                                "feature": [f.tolist() for f in feats]})
     return fn
 
 

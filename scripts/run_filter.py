@@ -15,6 +15,12 @@ per-partition lineage metrics.
 --repeat N times the run N times into separate output dirs and reports
 the LAST run's throughput: run 1 pays JVM JIT + Python-worker spin-up;
 steady state is what extrapolates to a long-lived cluster job.
+
+Cross-run seen-set dedup (the day-2-drops-day-1's-re-crawls flow):
+day 1 adds `--commit-bucket-table seen_corpus` (kept corpus lands as a
+url-bucketed catalog table); day 2 adds `--seen-table seen_corpus` and
+every already-committed url is anti-joined away BEFORE assessment,
+reading the committed side bucket-aligned with zero shuffle.
 """
 
 from __future__ import annotations
@@ -52,6 +58,21 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--inject-pii", action="store_true")
     p.add_argument("--salt-buckets", type=int, default=0,
                    help=">0 enables salted host repartitioning")
+    p.add_argument("--seen-table", default=None,
+                   help="bucketed corpus table from a previous run "
+                        "(--commit-bucket-table); incoming pages whose "
+                        "url is already committed are dropped BEFORE "
+                        "assessment via a bucket-aligned anti-join — "
+                        "the committed side never shuffles")
+    p.add_argument("--commit-bucket-table", default=None,
+                   help="after the run, consolidate the kept corpus "
+                        "into a url-bucketed catalog table under "
+                        "--bucket-path (the layout --seen-table reads "
+                        "shuffle-free on the NEXT run)")
+    p.add_argument("--bucket-path", default=None,
+                   help="storage path for --commit-bucket-table "
+                        "(default <output>/corpus_bucketed)")
+    p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--json", action="store_true",
                    help="print one machine-readable JSON line at the end")
     p.add_argument("--bench", action="store_true",
@@ -60,22 +81,24 @@ def build_args() -> argparse.Namespace:
     return p.parse_args()
 
 
-def main() -> None:
-    args = build_args()
+# last seen-set anti-join plan, exposed so tests can assert the CLI
+# path reads the committed corpus bucket-aligned (tests/test_checkpoint)
+LAST_SEEN_PLAN: str | None = None
+
+
+def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """The whole filter run against an existing session — the unit the
+    CLI wraps and tests drive directly (same code path minus the
+    spark-submit process spawn)."""
+    global LAST_SEEN_PLAN
+    from pyspark.sql import functions as F
+
     from luzzu_spark.checkpoint import ResumableRun
+    from luzzu_spark.dedup import seen_anti_join
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.pipeline import QualityPipeline
-    from luzzu_spark.session import DEFAULT_CONFS
     from luzzu_spark.sources import DOCUMENTS_SCHEMA, read_corpus, \
         sniff_format
-
-    builder = SparkSession.builder.appName("luzzu_spark_filter")
-    if args.master:
-        builder = builder.master(args.master)
-    for k, v in DEFAULT_CONFS.items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
     pipe = QualityPipeline(
         repartition_salted=args.salt_buckets > 0,
@@ -84,12 +107,22 @@ def main() -> None:
     schema = (args.input_schema or DOCUMENTS_SCHEMA) \
         if fmt in ("json", "csv") else None
 
+    seen = spark.table(args.seen_table) if args.seen_table else None
+
     # prepare runs the expensive plugin-UDF assessment ONCE per batch
     # (ResumableRun persists it); both sinks derive from that frame —
     # the round-1 version re-assessed in metrics_fn (ADVICE r1)
     def prepare(pages):
+        global LAST_SEEN_PLAN
         if args.as_webpages or "url" not in pages.columns:
             pages = as_webpages(pages, inject_pii=args.inject_pii)
+        if seen is not None:
+            # cross-run dedup: drop re-crawled urls BEFORE the UDF
+            # stage pays for them; the committed (bucketed) side reads
+            # shuffle-free — only this batch pays one Exchange
+            pages = seen_anti_join(pages, seen)
+            LAST_SEEN_PLAN = (pages._jdf.queryExecution()
+                              .executedPlan().toString())
         return pipe.assess(pages)
 
     def transform(assessed):
@@ -111,14 +144,10 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             print(f"# bench run {i}: {times[-1]:.2f}s", file=sys.stderr)
         sec = min(times[1:])      # run 0 is JIT/worker warm-up
-        result = {"sec": round(sec, 3), "n_docs": n_docs,
-                  "docs_per_sec": round(n_docs / sec, 1),
-                  "trials": [round(t, 2) for t in times],
-                  "master": spark.conf.get("spark.master")}
-        if args.json:
-            print(json.dumps(result))
-        spark.stop()
-        return
+        return {"sec": round(sec, 3), "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / sec, 1),
+                "trials": [round(t, 2) for t in times],
+                "master": spark.conf.get("spark.master")}
     for i in range(args.repeat):
         out = args.output if args.repeat == 1 else f"{args.output}/run{i}"
         run = ResumableRun(transform=transform, metrics_fn=metrics,
@@ -135,6 +164,37 @@ def main() -> None:
         print(f"# run {i}: {result['docs_per_sec']} docs/sec "
               f"({sec:.1f}s, {summary['planned']} batches)",
               file=sys.stderr)
+    if args.commit_bucket_table:
+        if args.repeat != 1:
+            raise ValueError("--commit-bucket-table requires --repeat 1 "
+                             "(one corpus, one committed table)")
+        # consolidate every committed batch into the url-bucketed
+        # catalog table the NEXT run's --seen-table anti-join reads
+        # shuffle-free (same layout as write_filtered(bucket_table=…):
+        # bucketBy+sortBy url, content_hash for content-level dedup)
+        bucket_path = args.bucket_path or os.path.join(
+            args.output, "corpus_bucketed")
+        kept = spark.read.parquet(ResumableRun.output_glob(args.output))
+        (kept.withColumn("content_hash", F.xxhash64("text"))
+         .write.mode("overwrite").option("path", bucket_path)
+         .bucketBy(args.n_buckets, "url").sortBy("url")
+         .saveAsTable(args.commit_bucket_table))
+        result["bucket_table"] = args.commit_bucket_table
+    return result
+
+
+def main() -> None:
+    args = build_args()
+    from luzzu_spark.session import DEFAULT_CONFS
+
+    builder = SparkSession.builder.appName("luzzu_spark_filter")
+    if args.master:
+        builder = builder.master(args.master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_job(spark, args)
     if args.json:
         print(json.dumps(result))
     spark.stop()

@@ -147,6 +147,48 @@ def test_ivf_probe_join_is_broadcast_no_row_python(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_ivf_persisted_index_prunes_at_scan_time(spark, tmp_path):
+    """VERDICT r02 item 6: a search against the PERSISTED IVF index
+    (partitioned by list_id) must open only the probed cell
+    directories — PartitionFilters in the plan, probed dirs only in
+    inputFiles() — and return exactly what the in-memory path returns
+    with the same centroids/nprobe."""
+    import re
+
+    from luzzu_spark import ivf
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    indexed, centroids = ivf.build_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    ivf.persist_index(indexed, path)
+
+    out = ivf.ivf_topk_over_index(spark, path, q, centroids,
+                                  k=5, nprobe=2)
+    plan = _plan(out)
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id", plan)
+    assert m, plan
+
+    probed = {r["list_id"] for r in
+              ivf._probed_queries(q, centroids, 2, "vec_id", "embedding")
+              .select("list_id").distinct().collect()}
+    # inputFiles() lists PRE-pruning candidates; the executed scan's
+    # input_file_name() shows which cell directories were actually read
+    pruned_scan = (spark.read.parquet(path)
+                   .where(F.col("list_id").isin(sorted(probed))))
+    opened = {int(re.search(r"list_id=(\d+)", r["f"]).group(1))
+              for r in pruned_scan.select(
+                  F.input_file_name().alias("f")).distinct().collect()}
+    assert opened == probed, (opened, probed)
+    assert len(opened) < 8, "pruning read every cell"
+
+    want = sorted((r["query_id"], r["rnk"], r["neighbor_id"])
+                  for r in ivf.ivf_topk(emb, q, k=5, nprobe=2, n_lists=8,
+                                        centroids=centroids).collect())
+    got = sorted((r["query_id"], r["rnk"], r["neighbor_id"])
+                 for r in out.collect())
+    assert got == want
+
+
 def test_ngram_jaccard_no_cartesian(spark):
     """Exact-Jaccard pairs must block via the inverted shingle index —
     an equi-join on the shingle key, never an all-pairs product."""

@@ -214,3 +214,26 @@ def test_stream_filtered_sink_matches_batch(spark, page_dir,
     assert got.count() == want.count()
     assert got.select(cols).exceptAll(want.select(cols)).count() == 0
     assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_epoch_replay_is_idempotent(spark, page_dir, tmp_path_factory):
+    """ADVICE r02: foreachBatch is at-least-once — a replayed
+    micro-batch (failure between parquet write and checkpoint commit)
+    must NOT duplicate corpus rows. The sink writes per-epoch with
+    dynamic partition overwrite, so replaying an epoch rewrites its
+    directory byte-for-byte; a distinct epoch still appends."""
+    out = str(tmp_path_factory.mktemp("replay") / "corpus")
+    pages = spark.read.parquet(page_dir)
+    kept = QualityPipeline(auto_spread=False).filtered(pages)
+
+    streaming.write_epoch_idempotent(kept.where("doc_id % 2 = 0"), out, 0)
+    n0 = spark.read.parquet(out).count()
+    # replay epoch 0 (identical content) — count must not change
+    streaming.write_epoch_idempotent(kept.where("doc_id % 2 = 0"), out, 0)
+    assert spark.read.parquet(out).count() == n0
+    # a NEW epoch appends without touching epoch 0
+    streaming.write_epoch_idempotent(kept.where("doc_id % 2 = 1"), out, 1)
+    after = spark.read.parquet(out)
+    assert after.where("epoch = 0").count() == n0
+    assert after.count() > n0
+    assert after.select("url").distinct().count() == after.count()
