@@ -82,12 +82,14 @@ _WINDOW: tuple[str, ...] = (
     "q4_priority_late_orders", "text_bpe_token_counts",
     "dedup_ngram_jaccard_exact", "sample_stable_hash",
     "mix_weights_by_source", "sample_quality_mix",
+    # rewritten r03: distinct-on-digest (audit flagged raw-text agg key)
+    "dedup_exact_text",
     # twice-green model/scrub replays — highest re-verify value
     "pipeline_verdict_counts", "docs_langid", "docs_perplexity_hist",
     "scrub_pii_identity", "docs_quality_score", "dedup_jaccard_verified",
     "dedup_exact_survivors", "embed_cosine_topk",
     "multimodal_binary_stats", "text_quality_flag_counts",
-    "q1_pricing_summary", "events_tumbling_10min",
+    "events_tumbling_10min",
 )
 
 

@@ -130,18 +130,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_exact_text", oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
-       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dupes
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
 FROM documents
 """)
 def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-content dedup stats. Scale: hash partial-agg on
-    md5(text) — never shuffles full text twice."""
+    """Exact-content dedup stats via content DIGEST: COUNT(DISTINCT
+    md5(text)) on both engines, so the distinct aggregation shuffles
+    32-char fixed-width digests, never the text body (the r03 plan
+    audit flagged the old COUNT(DISTINCT text) form keying its
+    Exchange on raw text). Identical counts unless md5 collides."""
     d = _docs(spark, sf_dir)
+    h = F.md5("text")
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_unique"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dupes"))
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dupes"))
 
 
 @register("ngram_dup_stats", oracle=f"""

@@ -49,3 +49,21 @@ def test_every_oracle_has_a_query():
     qs = set(entrymod.queries())
     orphans = [n for n in entrymod.oracle_sql() if n not in qs]
     assert not orphans, orphans
+
+
+def test_text_key_audit_detects_offenders():
+    """The fleet-wide text-shuffle-key audit must flag raw text keys at
+    top level and pass digests that merely WRAP a text column."""
+    from scripts.plan_audit import _text_shuffle_keys
+    flagged = _text_shuffle_keys(
+        "+- Exchange hashpartitioning(span#12, 32), ENSURE, [plan_id=1]")
+    assert flagged == ["span#12"], flagged
+    ok = _text_shuffle_keys(
+        "+- Exchange hashpartitioning(md5(text#4)#9, 32), [plan_id=2]")
+    assert ok == [], ok
+    multi = _text_shuffle_keys(
+        "Exchange hashpartitioning(doc_id#1, text#2, 32)")
+    assert multi == ["text#2"], multi
+    rng = _text_shuffle_keys(
+        "Exchange rangepartitioning(gram#7 ASC NULLS FIRST, 32)")
+    assert rng == ["gram#7"], rng
