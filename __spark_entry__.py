@@ -20,6 +20,7 @@ from luzzu_spark import queries as _q            # noqa: E402
 from luzzu_spark import queries_text             # noqa: E402,F401  (registers)
 from luzzu_spark import queries_ml               # noqa: E402,F401  (registers)
 from luzzu_spark import queries_scale            # noqa: E402,F401  (registers)
+from luzzu_spark import queries_web              # noqa: E402,F401  (registers)
 from luzzu_spark.session import tune             # noqa: E402
 
 

@@ -84,12 +84,13 @@ _WINDOW: tuple[str, ...] = (
     "mix_weights_by_source", "sample_quality_mix",
     # rewritten r03: distinct-on-digest (audit flagged raw-text agg key)
     "dedup_exact_text",
+    # new in r03 — first driver rows
+    "q6_forecast_revenue", "q12_shipmode_priority", "q14_promo_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "url_host_blocklist", "dedup_url_normalized",
     # twice-green model/scrub replays — highest re-verify value
     "pipeline_verdict_counts", "docs_langid", "docs_perplexity_hist",
-    "scrub_pii_identity", "docs_quality_score", "dedup_jaccard_verified",
-    "dedup_exact_survivors", "embed_cosine_topk",
-    "multimodal_binary_stats", "text_quality_flag_counts",
-    "events_tumbling_10min",
+    "scrub_pii_identity",
 )
 
 
@@ -602,3 +603,153 @@ def q4_priority_late_orders(spark: SparkSession,
     return (semi.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .orderBy("o_orderpriority"))
+
+
+@register("q6_forecast_revenue", oracle="""
+SELECT CAST(ROUND(SUM(l_extendedprice * l_discount), 2) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 20
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure predicate + global aggregate, the query
+    whose whole cost is the scan: all three filters push down to the
+    parquet reader (PushedFilters) and the sum partial-aggregates
+    map-side, so the shuffle is one row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_discount").between(0.02, 0.06))
+                 & (F.col("l_quantity") < 20))
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+         .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("q12_shipmode_priority", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — fact⋈fact equi-join with a residual date
+    predicate and conditional (CASE) aggregation: priority classes
+    pivot into columns inside ONE aggregation pass, no second scan or
+    pivot job."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = o.join(l, (l.l_orderkey == o.o_orderkey)
+               & (l.l_shipdate >= o.o_orderdate))
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                 F.sum((~high).cast("long")).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+@register("q14_promo_revenue", oracle="""
+SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                  / SUM(l_extendedprice * (1 - l_discount)), 4)
+            AS DOUBLE) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — percentage-of-total via two conditional sums
+    in one aggregation over a dim join (part broadcasts: it is the
+    small side). One pass, one shuffle of partial sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = (l.where((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+         .join(F.broadcast(p), p.p_partkey == l.l_partkey))
+    return j.agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("q18_large_volume_customers", oracle="""
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""")
+def q18_large_volume_customers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered semi-join then top-N: orders
+    whose total quantity exceeds a threshold, re-joined to customers
+    and ranked by order value. The IN-subquery compiles to a LeftSemi
+    against the aggregated orderkey set; the final top-10 is a
+    TakeOrderedAndProject, not a global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sq"))
+           .where(F.col("sq") > 150)
+           .select("l_orderkey"))
+    return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .groupBy("c_name", "o_orderkey", "o_totalprice")
+            .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@register("q19_disjunctive_predicates", oracle="""
+SELECT CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 5 AND 30)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 10 AND 40)
+""")
+def q19_disjunctive_predicates(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — a disjunction of multi-column predicate
+    bundles over a join: Catalyst must extract the common equi-key
+    (p_partkey = l_partkey) into a hash join and keep the OR-bundle
+    as a residual filter — NOT fall back to a nested-loop product
+    (pinned in tests/test_plans.py)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bundle = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(10, 40)))
+    j = l.join(F.broadcast(p),
+               (p.p_partkey == l.l_partkey) & bundle)
+    return j.agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))

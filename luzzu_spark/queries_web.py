@@ -1,0 +1,147 @@
+"""Web/URL-level operators over the synthesized page table.
+
+A crawl pipeline filters and dedups on URL structure before it ever
+touches text: domain blocklists (licensing/safety takedowns) and URL
+canonicalization (tracking params, fragments, case-variant hosts all
+alias the same page). These run over the SAME deterministic page
+synthesis as the flagship pipeline (fixtures.as_webpages), with the
+URL math mirrored in the DuckDB oracle from the same doc_id formulas.
+
+Scale notes: the blocklist is a broadcast anti-join (the corpus never
+shuffles for it — each task drops blocked hosts locally); URL
+canonicalization is a regexp_replace chain (codegen, one pass) and the
+dedup counts distinct CANONICAL strings — URLs are short, bounded keys,
+unlike document text (cf. the md5-keying rule for text shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luzzu_spark.fixtures import as_webpages, load_table, spread
+from luzzu_spark.queries import register
+
+# deterministic blocklist: these sources' hosts are banned
+BLOCKED_SOURCES = ("src3", "src7", "src11")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return as_webpages(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _block_hosts_sql() -> str:
+    return ", ".join(f"'{s}.example.com'" for s in BLOCKED_SOURCES)
+
+
+@register("url_host_blocklist", oracle=f"""
+WITH pages AS (
+  SELECT source || '.example.com' AS host, n_chars FROM documents),
+kept AS (
+  SELECT * FROM pages WHERE host NOT IN ({_block_hosts_sql()}))
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY host ORDER BY host
+""")
+def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter: hosts are parsed from the real url
+    column with parse_url (the production path — the oracle derives
+    the same host from the synthesis formula) and dropped via a
+    BROADCAST anti-join against the blocklist dim, so the corpus never
+    shuffles; surviving hosts report doc/char counts."""
+    pages = _pages(spark, sf_dir)  # text passes through: len == n_chars
+    blocked = spark.createDataFrame(
+        [(f"{s}.example.com",) for s in BLOCKED_SOURCES], "host string")
+    hosted = pages.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST")))
+    kept = hosted.join(F.broadcast(blocked), "host", "left_anti")
+    return (kept.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("long")
+                 .alias("total_chars"))
+            .orderBy("host"))
+
+
+# messy-URL synthesis: two docs share each base path (doc_id // 2) and
+# each doc decorates it differently — canonicalization must collapse
+# the variants while distinct raw forms stay distinct
+_MESSY_SQL = """
+  CASE WHEN doc_id % 5 = 0
+       THEN 'https://' || upper(source) || '.EXAMPLE.COM/page/'
+       ELSE 'https://' || source || '.example.com/page/' END
+  || CAST(doc_id // 2 AS VARCHAR)
+  || CASE doc_id % 4
+       WHEN 0 THEN '?utm_source=feed&ref=rss'
+       WHEN 1 THEN '#section-2'
+       WHEN 2 THEN '/'
+       ELSE '' END
+"""
+
+
+def messy_url_expr() -> F.Column:
+    """Deterministic messy URL as a function of (source, doc_id) —
+    mirrored by _MESSY_SQL in the oracle."""
+    d = F.col("doc_id")
+    base = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("https://"), F.upper("source"),
+                 F.lit(".EXAMPLE.COM/page/"))
+    ).otherwise(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/page/")))
+    suffix = (F.when(d % 4 == 0, F.lit("?utm_source=feed&ref=rss"))
+              .when(d % 4 == 1, F.lit("#section-2"))
+              .when(d % 4 == 2, F.lit("/"))
+              .otherwise(F.lit("")))
+    return F.concat(base, F.floor(d / 2).cast("string"), suffix)
+
+
+def canonicalize_url(col: F.Column) -> F.Column:
+    """URL canonicalization: strip fragment, strip query string, strip
+    one trailing slash, lowercase the scheme://host prefix (paths stay
+    case-sensitive per RFC 3986). Pure regexp_replace chain — codegen,
+    one projection, identical regex subset in the DuckDB oracle."""
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, "/$", "")
+    host = F.lower(F.regexp_extract(u, "^(https?://[^/]+)", 1))
+    rest = F.regexp_replace(u, "^https?://[^/]+", "")
+    return F.concat(host, rest)
+
+
+@register("dedup_url_normalized", oracle=f"""
+WITH messy AS (SELECT source, {_MESSY_SQL} AS u FROM documents),
+canon AS (
+  SELECT source, u,
+         lower(regexp_extract(
+             regexp_replace(regexp_replace(regexp_replace(
+                 u, '#.*$', ''), '\\?.*$', ''), '/$', ''),
+             '^(https?://[^/]+)', 1))
+         || regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+                 u, '#.*$', ''), '\\?.*$', ''), '/$', ''),
+             '^https?://[^/]+', '') AS cu
+  FROM messy)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_raw_urls,
+       CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_canonical_urls
+FROM canon GROUP BY source ORDER BY source
+""")
+def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: tracking queries, fragments,
+    trailing slashes and case-variant hosts collapse to one canonical
+    URL before identity dedup — re-crawls of the same page under
+    decorated URLs stop inflating the corpus. Per source: raw vs
+    canonical distinct counts (canonical ≤ raw; the planted messy
+    synthesis gives two docs per base path, so canonicalization must
+    actually merge)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    m = d.select("source", messy_url_expr().alias("u"))
+    c = m.withColumn("cu", canonicalize_url(F.col("u")))
+    return (c.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("u").alias("n_raw_urls"),
+                 F.countDistinct("cu").alias("n_canonical_urls"))
+            .orderBy("source"))

@@ -120,6 +120,39 @@ def session_event_counts(events: DataFrame, gap: str = "30 minutes",
                     "n_events", "sum_value"))
 
 
+def view_to_click_join(views: DataFrame, clicks: DataFrame,
+                       horizon: str = "10 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream INTERVAL join (SURVEY.md §2.8 family): each view
+    joins the same user's clicks landing within `horizon` after it —
+    the attribution-window shape (impression→conversion).
+
+    State contract: BOTH sides carry watermarks and the join condition
+    time-bounds the match (click_ts in [view_ts, view_ts + horizon]),
+    so Spark can evict buffered rows once the watermark passes the
+    bound — without the time bound a stream-stream inner join would
+    buffer both streams forever. The same builder runs in batch for
+    the parity twin (tests/test_streaming.py)."""
+    v = (views.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts")))
+    c = (clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    return (v.join(
+        c, (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts")
+           + F.expr(f"INTERVAL {horizon}")))
+        .select(F.col("v_user").alias("user_id"), "view_id", "click_id",
+                F.unix_timestamp("view_ts").alias("view_epoch"),
+                F.unix_timestamp("click_ts").alias("click_epoch")))
+
+
 def stateful_user_totals(events: DataFrame,
                          watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running

@@ -224,6 +224,27 @@ def test_no_text_typed_shuffle_keys(spark):
     assert any("span_key#" in k for k in keys), span_plan
 
 
+def test_q19_disjunction_stays_hash_join(spark):
+    """The OR-bundle join (TPC-H Q19 shape) must extract the common
+    equi-key into a hash join with the disjunction as residual — never
+    degrade to a nested-loop/cartesian product."""
+    from luzzu_spark.queries import queries
+    plan = _plan(queries()["q19_disjunctive_predicates"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_blocklist_join_is_broadcast_anti(spark):
+    """The domain blocklist must apply as a broadcast anti-join — the
+    corpus side never shuffles for it."""
+    from luzzu_spark import queries_web  # noqa: F401 — registry import
+    from luzzu_spark.queries import queries
+    plan = _plan(queries()["url_host_blocklist"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_q17_subquery_is_decorrelated(spark):
     """The correlated scalar subquery must decorrelate into a
     per-partkey aggregate + join (one extra shuffle), not a per-row

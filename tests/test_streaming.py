@@ -216,6 +216,35 @@ def test_stream_filtered_sink_matches_batch(spark, page_dir,
     assert want.select(cols).exceptAll(got.select(cols)).count() == 0
 
 
+def test_stream_stream_interval_join_matches_batch(spark,
+                                                   tmp_path_factory):
+    """Stream-stream interval join (view→click attribution window):
+    the streamed join must equal the identical batch join row-for-row.
+    availableNow drains everything, so no matches are withheld by the
+    final watermark."""
+    path = str(tmp_path_factory.mktemp("ssj") / "events")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+    schema = batch.schema
+
+    def split(df):
+        return (df.where(F.col("event_type") == "view"),
+                df.where(F.col("event_type") == "click"))
+
+    sv, sc = split(spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 2).parquet(path))
+    joined = streaming.view_to_click_join(sv, sc)
+    _drain(streaming.run_to_memory(joined, "ssj_out"))
+    got = spark.table("ssj_out")
+
+    bv, bc = split(batch)
+    want = streaming.view_to_click_join(bv, bc)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_epoch_replay_is_idempotent(spark, page_dir, tmp_path_factory):
     """ADVICE r02: foreachBatch is at-least-once — a replayed
     micro-batch (failure between parquet write and checkpoint commit)
