@@ -188,19 +188,28 @@ class QualityPipeline:
           problems/      per-(doc, fired rule) problem rows
 
         One persisted assessment feeds all three (never recompute the
-        UDF stage per sink)."""
+        UDF stage per sink). The persist PROJECTS to the metric
+        columns first — none of the three sinks reads text, so the
+        cache holds (keys, verdict, scores) at ~100 bytes/doc instead
+        of the corpus body. Measured at fixture scale the two forms
+        tie (job overhead dominates 100k short docs); the projection
+        is about cache FOOTPRINT at web scale, where materializing
+        the text column per report run would evict real work."""
         from luzzu_spark.metrics import observations, partition_lineage
-        assessed = assessed.persist()
+        slim_cols = [c for c in ("url", "doc_id", "source", "lang",
+                                 "keep", "drop_reasons", "rule_scores")
+                     if c in assessed.columns]
+        slim = assessed.select(*slim_cols).persist()
         try:
             for name, df in (
-                    ("observations", observations(assessed)),
-                    ("lineage", partition_lineage(assessed)),
-                    ("problems", self.problem_report(assessed))):
+                    ("observations", observations(slim)),
+                    ("lineage", partition_lineage(slim)),
+                    ("problems", self.problem_report(slim))):
                 (df.withColumn("run_id", F.lit(run_id))
                    .write.mode("append").partitionBy("run_id")
                    .parquet(f"{path}/{name}"))
         finally:
-            assessed.unpersist()
+            slim.unpersist()
 
 
 def keep_expr_name() -> str:

@@ -99,14 +99,19 @@ def messy_url_expr() -> F.Column:
 
 def canonicalize_url(col: F.Column) -> F.Column:
     """URL canonicalization: strip fragment, strip query string, strip
-    one trailing slash, lowercase the scheme://host prefix (paths stay
-    case-sensitive per RFC 3986). Pure regexp_replace chain — codegen,
-    one projection, identical regex subset in the DuckDB oracle."""
+    trailing slashes, lowercase the scheme://host prefix (paths stay
+    case-sensitive per RFC 3986). Two hypothesis catches baked in
+    (tests/test_url_ops): strip ALL trailing slashes (a single-slash
+    strip is not idempotent on 'a//') and match the scheme
+    case-insensitively ('HTTP://A' must canonicalize like
+    'http://a'). Pure regexp_replace chain — codegen, one projection,
+    identical regex subset (incl. the (?i) flag) in the DuckDB
+    oracle."""
     u = F.regexp_replace(col, "#.*$", "")
     u = F.regexp_replace(u, r"\?.*$", "")
-    u = F.regexp_replace(u, "/$", "")
-    host = F.lower(F.regexp_extract(u, "^(https?://[^/]+)", 1))
-    rest = F.regexp_replace(u, "^https?://[^/]+", "")
+    u = F.regexp_replace(u, "/+$", "")
+    host = F.lower(F.regexp_extract(u, "(?i)^(https?://[^/]+)", 1))
+    rest = F.regexp_replace(u, "(?i)^https?://[^/]+", "")
     return F.concat(host, rest)
 
 
@@ -116,12 +121,12 @@ canon AS (
   SELECT source, u,
          lower(regexp_extract(
              regexp_replace(regexp_replace(regexp_replace(
-                 u, '#.*$', ''), '\\?.*$', ''), '/$', ''),
-             '^(https?://[^/]+)', 1))
+                 u, '#.*$', ''), '\\?.*$', ''), '/+$', ''),
+             '(?i)^(https?://[^/]+)', 1))
          || regexp_replace(
              regexp_replace(regexp_replace(regexp_replace(
-                 u, '#.*$', ''), '\\?.*$', ''), '/$', ''),
-             '^https?://[^/]+', '') AS cu
+                 u, '#.*$', ''), '\\?.*$', ''), '/+$', ''),
+             '(?i)^https?://[^/]+', '') AS cu
   FROM messy)
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
