@@ -87,10 +87,9 @@ _WINDOW: tuple[str, ...] = (
     # new in r03 — first driver rows
     "q6_forecast_revenue", "q12_shipmode_priority", "q14_promo_revenue",
     "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "url_host_blocklist", "dedup_url_normalized",
+    "url_host_blocklist", "dedup_url_normalized", "rank_sources_weighted",
     # twice-green model/scrub replays — highest re-verify value
-    "pipeline_verdict_counts", "docs_langid", "docs_perplexity_hist",
-    "scrub_pii_identity",
+    "pipeline_verdict_counts", "docs_langid", "scrub_pii_identity",
 )
 
 

@@ -150,3 +150,63 @@ def dedup_url_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("u").alias("n_raw_urls"),
                  F.countDistinct("cu").alias("n_canonical_urls"))
             .orderBy("source"))
+
+
+@register("rank_sources_weighted", oracle="""
+WITH toks AS (
+  SELECT source, n_chars, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents),
+scored AS (
+  SELECT source,
+         0.5   * CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+       + 0.25  * CASE WHEN len(t) >= 30 THEN 1 ELSE 0 END
+       + 0.125 * CASE WHEN CAST(len(list_filter(t,
+                    x -> list_contains(['the','and','is','of','to','in',
+                                        'a','it','that','for'], x)))
+                    AS DOUBLE) / NULLIF(len(t), 0) >= 0.05
+                  THEN 1 ELSE 0 END
+       + 0.125 * CASE WHEN CAST(len(replace(trim(text), ' ', ''))
+                            AS DOUBLE) / NULLIF(len(t), 0)
+                       BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END AS s
+  FROM toks)
+SELECT source,
+       CAST(AVG(s) AS DOUBLE) AS mean_quality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(RANK() OVER (ORDER BY AVG(s) DESC, source ASC) AS BIGINT)
+         AS rnk
+FROM scored GROUP BY source ORDER BY rnk, source
+""")
+def rank_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luzzu's user-weighted dataset ranking
+    (/root/reference/README.md:15) as an ORACLE-CHECKED query: each
+    source's quality is the mean of a user-weighted rule-pass sum, and
+    sources rank by it. Weights are DYADIC (0.5/0.25/0.125/0.125) on
+    purpose: every per-doc score is an exact multiple of 0.125, so the
+    per-source mean is bit-identical across engines and partitionings
+    and the RANK can never flip on a float tie. Post-aggregation
+    window over #sources rows only (empty-frame-window rule)."""
+    from pyspark.sql import Window
+
+    from luzzu_spark.rules.heuristics import with_token_columns
+    d = with_token_columns(spread(load_table(spark, sf_dir, "documents")))
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "and", "is", "of", "to", "in",
+                    "a", "it", "that", "for")])
+    hits = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    stop_frac = F.try_divide(hits.cast("double"), F.col("n_tokens"))
+    total_len = F.length(F.regexp_replace(F.trim(F.col("text")),
+                                          r"\s+", ""))
+    mwl = F.try_divide(total_len.cast("double"), F.col("n_tokens"))
+    s = (0.5 * (F.col("n_chars") >= 200).cast("double")
+         + 0.25 * (F.col("n_tokens") >= 30).cast("double")
+         + 0.125 * F.coalesce((stop_frac >= 0.05).cast("double"),
+                              F.lit(0.0))
+         + 0.125 * F.coalesce(((mwl >= 3.0) & (mwl <= 12.0))
+                              .cast("double"), F.lit(0.0)))
+    agg = (d.withColumn("s", s).groupBy("source")
+           .agg(F.avg("s").alias("mean_quality"),
+                F.count(F.lit(1)).alias("n_docs")))
+    w = Window.orderBy(F.desc("mean_quality"), F.asc("source"))
+    return (agg.withColumn("rnk", F.rank().over(w).cast("long"))
+            .orderBy("rnk", "source"))

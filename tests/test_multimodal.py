@@ -61,3 +61,28 @@ def test_strict_mode_raises(spark, pages):
         multimodal.image_features(pages.limit(2), strict=True).collect()
     assert "NotImplementedError" in str(exc.value) \
         or isinstance(exc.value, NotImplementedError)
+
+
+def test_image_features_feed_ann_search(spark, pages):
+    """End-to-end multimodal→ANN: image_features' array<float> output
+    is the embeddings contract, so it must flow straight into the
+    similarity module's IVF search — decode features, build an index
+    over them, query with a subset, get exact-cosine-scored neighbors.
+    Proves the contract claim in image_features' docstring for real."""
+    from luzzu_spark import ivf
+
+    feats = (multimodal.image_features(pages)
+             .where(F.col("ok"))
+             .select(F.col("url").alias("vec_id"),
+                     F.col("feature").cast("array<float>")
+                     .alias("embedding")))
+    n = feats.count()
+    assert n >= 50
+    q = feats.limit(3)
+    got = ivf.ivf_topk(feats, q, k=3, nprobe=8, n_lists=8,
+                       id_col="vec_id", vec_col="embedding").collect()
+    qids = {r["query_id"] for r in got}
+    assert len(qids) == 3
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
