@@ -177,12 +177,19 @@ def main() -> None:
 
     timings["metrics_reports"] = round(bench_metrics(spark, SF_DIR), 3)
 
-    for name in relational + textops:
-        # min of two trials: the host shows 2-3× run-to-run variance
-        # (BASELINE.md methodology); the first trial also serves as the
-        # per-query warm-up for shuffle/broadcast reuse
-        df = catalog[name](spark, SF_DIR)
-        timings[name] = round(min(run_noop(df), run_noop(df)), 3)
+    # min of two INTERLEAVED rounds: the host shows 2-3× run-to-run
+    # variance that drifts over seconds, so consecutive per-query
+    # trials share the same noise phase — alternating the whole suite
+    # decorrelates it (CLAUDE.md rule 5: pair/alternate levels). Round
+    # one doubles as the per-query warm-up for shuffle/broadcast reuse.
+    dfs = {name: catalog[name](spark, SF_DIR)
+           for name in relational + textops}
+    trials: dict[str, list[float]] = {n: [] for n in dfs}
+    for _ in range(2):
+        for name, df in dfs.items():
+            trials[name].append(run_noop(df))
+    for name, ts in trials.items():
+        timings[name] = round(min(ts), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
