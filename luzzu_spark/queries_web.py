@@ -210,3 +210,130 @@ def rank_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("mean_quality"), F.asc("source"))
     return (agg.withColumn("rnk", F.rank().over(w).cast("long"))
             .orderBy("rnk", "source"))
+
+
+# deterministic page-with-lines synthesis: body text plus two
+# boilerplate lines every page of a host shares — mirrored verbatim in
+# the oracle CTEs below
+_FOOTER_SQL = ("text || chr(10) || 'copyright (c) ' || source "
+               "|| ' - all rights reserved' || chr(10) "
+               "|| 'home | about | contact'")
+
+
+def page_with_lines_expr() -> F.Column:
+    """Body + per-host footer + global nav line, newline-separated —
+    the deterministic multi-line page the line-level ops run over
+    (mirrored by _FOOTER_SQL)."""
+    return F.concat(
+        F.col("text"), F.lit("\ncopyright (c) "), F.col("source"),
+        F.lit(" - all rights reserved\nhome | about | contact"))
+
+
+@register("text_boilerplate_lines", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, source, {_FOOTER_SQL} AS page FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(page, chr(10))) AS line
+  FROM pages),
+keyed AS (
+  SELECT doc_id, source, md5(line) AS lh, len(line) AS ln FROM lines),
+freq AS (
+  SELECT source, lh, COUNT(DISTINCT doc_id) AS ndocs
+  FROM keyed GROUP BY source, lh)
+SELECT k.source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN f.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_lines,
+       CAST(SUM(CASE WHEN f.ndocs < 3 THEN k.ln ELSE 0 END) AS BIGINT)
+         AS n_chars_kept
+FROM keyed k JOIN freq f ON k.source = f.source AND k.lh = f.lh
+GROUP BY k.source ORDER BY k.source
+""")
+def text_boilerplate_lines(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal: a line occurring in >= 3
+    distinct documents of the SAME host is boilerplate (nav bars,
+    copyright footers, cookie banners) and is dropped corpus-wide;
+    per host: total lines, boilerplate instances removed, characters
+    surviving. The planted synthesis gives every page two shared
+    footer lines, so the rule must fire on exactly those (plus any
+    >= 3-way duplicated bodies).
+
+    Scale: lines explode where the text lives; BOTH the frequency
+    groupBy and the attach join key on (source, md5(line)) — fixed
+    width, never the line text (the md5-keying rule from the
+    cross-doc span rewrite) — and Catalyst reuses one exchange for
+    the two consumers. Line text itself never shuffles; only
+    (doc_id, hash, length) rows do."""
+    pages = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", page_with_lines_expr().alias("page"))
+    lines = pages.select(
+        "doc_id", "source",
+        F.explode(F.split("page", "\n")).alias("line"))
+    keyed = lines.select(
+        "doc_id", "source", F.md5("line").alias("lh"),
+        F.length("line").alias("ln"))
+    freq = (keyed.groupBy("source", "lh")
+            .agg(F.countDistinct("doc_id").alias("ndocs")))
+    boiler = F.col("ndocs") >= 3
+    return (keyed.join(freq, ["source", "lh"])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(boiler.cast("long"))
+                 .alias("n_boilerplate_lines"),
+                 F.sum(F.when(~boiler, F.col("ln")).otherwise(0))
+                 .cast("long").alias("n_chars_kept"))
+            .orderBy("source"))
+
+
+@register("text_top_word_dominance", oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(trim(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents),
+cnt AS (
+  SELECT doc_id, lang, md5(w) AS wh, COUNT(*) AS c
+  FROM toks GROUP BY doc_id, lang, wh),
+per_doc AS (
+  SELECT doc_id, lang, MAX(c) AS top_cnt, SUM(c) AS n_toks
+  FROM cnt GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN top_cnt * 5 > n_toks THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dominated,
+       CAST(ROUND(CAST(SUM(top_cnt) AS DOUBLE) / SUM(n_toks), 6)
+            AS DOUBLE) AS micro_top_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_top_word_dominance(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Gopher most-common-word rule: per document, how much of the
+    token stream is ONE word (keyword stuffing / template spam fires
+    it). Per language: docs whose top word exceeds 20% of tokens —
+    tested as the exact INTEGER comparison top_cnt * 5 > n_toks, no
+    float ever — and the micro-averaged top-word fraction computed as
+    a ratio of exact BIGINT sums rounded once (rule-12 discipline:
+    never average per-doc floats across engines).
+
+    Scale: explode -> hash-agg on (doc_id, md5(word)) — fixed-width
+    keys, word text never shuffles; the per-doc fold then runs over
+    distinct-word counts (bounded by vocabulary, not corpus size)."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", "lang",
+                   F.explode(tokens_expr("text")).alias("w"))
+    cnt = (tok.groupBy("doc_id", "lang", F.md5("w").alias("wh"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (cnt.groupBy("doc_id", "lang")
+               .agg(F.max("c").alias("top_cnt"),
+                    F.sum("c").alias("n_toks")))
+    dominated = F.col("top_cnt") * 5 > F.col("n_toks")
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(dominated.cast("long")).alias("n_dominated"),
+                 F.round(F.sum("top_cnt").cast("double")
+                         / F.sum("n_toks"), 6)
+                 .alias("micro_top_frac"))
+            .orderBy("lang"))
