@@ -260,12 +260,16 @@ def text_boilerplate_lines(spark: SparkSession,
     footer lines, so the rule must fire on exactly those (plus any
     >= 3-way duplicated bodies).
 
-    Scale: lines explode where the text lives; BOTH the frequency
-    groupBy and the attach join key on (source, md5(line)) — fixed
-    width, never the line text (the md5-keying rule from the
-    cross-doc span rewrite) — and Catalyst reuses one exchange for
-    the two consumers. Line text itself never shuffles; only
-    (doc_id, hash, length) rows do."""
+    Scale: lines explode where the text lives and immediately reduce
+    to (source, md5(line)) hash-agg keys — fixed width, never the
+    line text (the md5-keying rule from the cross-doc span rewrite).
+    The obvious freq-then-join form scans and explodes the corpus
+    TWICE and (at fixture scale) broadcast a corpus-sized per-line
+    frame; instead a two-level aggregation — (source, lh, doc_id)
+    folds intra-doc repeats with a map-side partial, (source, lh)
+    yields the distinct-doc frequency AND the instance count in the
+    same row — computes identical values with one scan, no join, and
+    per-line rows bounded by distinct lines, not line instances."""
     pages = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", page_with_lines_expr().alias("page"))
     lines = pages.select(
@@ -274,15 +278,20 @@ def text_boilerplate_lines(spark: SparkSession,
     keyed = lines.select(
         "doc_id", "source", F.md5("line").alias("lh"),
         F.length("line").alias("ln"))
-    freq = (keyed.groupBy("source", "lh")
-            .agg(F.countDistinct("doc_id").alias("ndocs")))
+    per_doc_line = (keyed.groupBy("source", "lh", "doc_id")
+                    .agg(F.count(F.lit(1)).alias("c"),
+                         F.first("ln").alias("ln")))
+    per_line = (per_doc_line.groupBy("source", "lh")
+                .agg(F.count(F.lit(1)).alias("ndocs"),
+                     F.sum("c").alias("cnt"),
+                     F.first("ln").alias("ln")))
     boiler = F.col("ndocs") >= 3
-    return (keyed.join(freq, ["source", "lh"])
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_lines"),
-                 F.sum(boiler.cast("long"))
+    return (per_line.groupBy("source")
+            .agg(F.sum("cnt").alias("n_lines"),
+                 F.sum(F.when(boiler, F.col("cnt")).otherwise(0))
                  .alias("n_boilerplate_lines"),
-                 F.sum(F.when(~boiler, F.col("ln")).otherwise(0))
+                 F.sum(F.when(~boiler, F.col("cnt") * F.col("ln"))
+                       .otherwise(0))
                  .cast("long").alias("n_chars_kept"))
             .orderBy("source"))
 
