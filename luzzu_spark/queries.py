@@ -70,7 +70,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_salted_by_source", "join_salted_docs_dims",
     "agg_cube_lang_source", "window_top2_docs_per_source",
     "supplier_revenue_by_nation", "part_type_price_stats",
-    "set_union_lang_counts", "dedup_simhash_near",
+    "set_union_lang_counts",
     # (c) rewritten this round — fixed-width hash shuffle keys
     "dedup_cross_doc_spans", "docs_benchmark_contamination",
     # (new this round)
@@ -91,6 +91,9 @@ _WINDOW: tuple[str, ...] = (
     "q13_order_count_distribution", "q22_global_avg_anti_join",
     "q15_top_supplier", "q7_bi_nation_volume",
     "text_boilerplate_lines", "text_top_word_dominance",
+    # Gopher n-gram coverage (displaces the r01-green
+    # dedup_simhash_near replay: first rows beat re-greens)
+    "text_top_ngram_coverage",
 )
 
 

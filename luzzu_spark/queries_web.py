@@ -346,3 +346,90 @@ def text_top_word_dominance(spark: SparkSession,
                          / F.sum("n_toks"), 6)
                  .alias("micro_top_frac"))
             .orderBy("lang"))
+
+
+@register("text_top_ngram_coverage", oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, n_chars, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS gr
+  FROM t WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, lang, n_chars, 3 AS n,
+         unnest(list_transform(range(1, len(toks)-1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS gr
+  FROM t WHERE len(toks) >= 3),
+cnt AS (
+  SELECT doc_id, lang, n_chars, n, md5(gr) AS gh, len(gr) AS gl,
+         COUNT(*) AS c
+  FROM g GROUP BY doc_id, lang, n_chars, n, gh, gl),
+per_doc AS (
+  SELECT doc_id, lang, n_chars, n, MAX(c * gl) AS cov
+  FROM cnt GROUP BY doc_id, lang, n_chars, n)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN (n = 2 AND cov * 5 > n_chars)
+                       OR (n = 3 AND cov * 50 > 9 * n_chars)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(ROUND(CAST(SUM(cov) AS DOUBLE) / SUM(n_chars), 6)
+            AS DOUBLE) AS micro_coverage
+FROM per_doc GROUP BY lang, n ORDER BY lang, n
+""")
+def text_top_ngram_coverage(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Gopher duplicated-n-gram rule, n = 2 and 3: per document, the
+    character coverage of the single most-repeated n-gram
+    (occurrences x gram chars — overlaps may exceed the doc length,
+    as in the published rule), flagged past the Gopher thresholds
+    (20% for 2-grams, 18% for 3-grams) via exact integer
+    cross-multiplication (cov*5 > chars; cov*50 > 9*chars) — no float
+    ever crosses engines. max(c*gl) replaces "the most common gram"
+    to stay deterministic under count ties. Micro coverage is a ratio
+    of exact BIGINT sums rounded once (rule-12 discipline).
+
+    Scale: both gram sizes are generated in ONE pass over the corpus
+    (a tagged struct array concat, then one explode) and immediately
+    reduce to (doc_id, n, md5(gram)) hash-agg keys — gram text never
+    shuffles; the per-doc fold then runs over distinct-gram counts,
+    bounded by vocabulary not corpus size. The per-row gram HOF runs
+    once per doc outside any join (the accepted
+    dedup_ngram_jaccard_exact trade: string grams keep the math
+    bit-identical to the oracle; dedup.py owns the vectorized hashed
+    shingler for the blocking paths)."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "lang", "n_chars",
+                 tokens_expr("text").alias("toks")))
+    empty = "CAST(array() AS array<struct<n:int,g:string>>)"
+    grams = F.expr(f"""
+      concat(
+        CASE WHEN size(toks) >= 2 THEN
+          transform(sequence(1, size(toks) - 1),
+            i -> struct(2 AS n, array_join(slice(toks, i, 2), ' ') AS g))
+        ELSE {empty} END,
+        CASE WHEN size(toks) >= 3 THEN
+          transform(sequence(1, size(toks) - 2),
+            i -> struct(3 AS n, array_join(slice(toks, i, 3), ' ') AS g))
+        ELSE {empty} END)""")
+    ex = (d.select("doc_id", "lang", "n_chars",
+                   F.explode(grams).alias("t"))
+          .select("doc_id", "lang", "n_chars", F.col("t.n").alias("n"),
+                  F.md5("t.g").alias("gh"),
+                  F.length("t.g").alias("gl")))
+    cnt = (ex.groupBy("doc_id", "lang", "n_chars", "n", "gh", "gl")
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (cnt.groupBy("doc_id", "lang", "n_chars", "n")
+               .agg(F.max(F.col("c") * F.col("gl")).alias("cov")))
+    flagged = (((F.col("n") == 2) & (F.col("cov") * 5 > F.col("n_chars")))
+               | ((F.col("n") == 3)
+                  & (F.col("cov") * 50 > 9 * F.col("n_chars"))))
+    return (per_doc.groupBy("lang", F.col("n").cast("long").alias("n"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(flagged.cast("long")).alias("n_flagged"),
+                 F.round(F.sum("cov").cast("double")
+                         / F.sum("n_chars"), 6).alias("micro_coverage"))
+            .orderBy("lang", "n"))

@@ -104,3 +104,44 @@ def test_top_word_dominance_planted(spark, dominance_dir):
     assert de["n_docs"] == 1
     assert de["n_dominated"] == 1
     assert de["micro_top_frac"] == round(3 / 4, 6)
+
+
+@pytest.fixture(scope="module")
+def ngram_dir(tmp_path_factory):
+    # A: 20 distinct words — every 2-/3-gram unique; coverage of a
+    #    single occurrence (5/59, 8/59) sits under both thresholds.
+    # B: "x y" repeated — both gram sizes fire.
+    # C: one token — no grams at all, lang must vanish from output.
+    # D: two tokens — a 2-gram row but NO 3-gram row.
+    a_text = " ".join("a" + c for c in "abcdefghijklmnopqrst")
+    rows = [
+        (1, a_text, "en", "s"),
+        (2, "x y x y x y", "en", "s"),
+        (3, "solo", "de", "s"),
+        (4, "uno dos", "fr", "s"),
+    ]
+    return _write_docs(tmp_path_factory.mktemp("ngram"), rows)
+
+
+def test_top_ngram_coverage_planted(spark, ngram_dir):
+    from luzzu_spark.queries_web import text_top_ngram_coverage
+
+    got = {(r["lang"], r["n"]): r for r in
+           text_top_ngram_coverage(spark, ngram_dir).collect()}
+    # de has no grams; fr has no 3-gram row
+    assert set(got) == {("en", 2), ("en", 3), ("fr", 2)}
+
+    # doc A: cov2 = len("aa ab") = 5, cov3 = 8, n_chars = 59
+    # doc B: cov2 = 3 * len("x y") = 9, cov3 = 2 * len("x y x") = 10,
+    #        n_chars = 11 — flagged at both sizes (9*5 > 11, 10*50 > 99)
+    en2 = got[("en", 2)]
+    assert (en2["n_docs"], en2["n_flagged"]) == (2, 1)
+    assert en2["micro_coverage"] == round((5 + 9) / (59 + 11), 6)
+    en3 = got[("en", 3)]
+    assert (en3["n_docs"], en3["n_flagged"]) == (2, 1)
+    assert en3["micro_coverage"] == round((8 + 10) / (59 + 11), 6)
+
+    # doc D: single 2-gram covers the whole doc (7/7) — flagged
+    fr2 = got[("fr", 2)]
+    assert (fr2["n_docs"], fr2["n_flagged"]) == (1, 1)
+    assert fr2["micro_coverage"] == 1.0
