@@ -69,7 +69,6 @@ _WINDOW: tuple[str, ...] = (
     # (b) checked in r01 only
     "agg_salted_by_source", "join_salted_docs_dims",
     "agg_cube_lang_source", "window_top2_docs_per_source",
-    "supplier_revenue_by_nation", "part_type_price_stats",
     "set_union_lang_counts",
     # (c) rewritten this round — fixed-width hash shuffle keys
     "dedup_cross_doc_spans", "docs_benchmark_contamination",
@@ -91,9 +90,11 @@ _WINDOW: tuple[str, ...] = (
     "q13_order_count_distribution", "q22_global_avg_anti_join",
     "q15_top_supplier", "q7_bi_nation_volume",
     "text_boilerplate_lines", "text_top_word_dominance",
-    # Gopher n-gram coverage (displaces the r01-green
-    # dedup_simhash_near replay: first rows beat re-greens)
+    # Gopher n-gram coverage + last TPC-H shapes (displace the
+    # r01-green dedup_simhash_near / supplier_revenue_by_nation /
+    # part_type_price_stats replays: first rows beat re-greens)
     "text_top_ngram_coverage",
+    "q8_national_market_share", "q21_waiting_suppliers",
 )
 
 
@@ -925,3 +926,140 @@ def q7_bi_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("supp_nation", "cust_nation", "l_year")
             .agg(F.round(F.sum("volume"), 2).alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register("q8_national_market_share", oracle="""
+WITH flat AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+                 AND r.r_name = 'AMERICA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey)
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1'
+                      THEN volume ELSE 0 END), 2) AS DOUBLE)
+         AS nation_volume,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+       CAST(ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1'
+                        THEN volume ELSE 0 END), 2)
+                  / ROUND(SUM(volume), 2), 6) AS DOUBLE) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+""")
+def q8_national_market_share(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: NATION_1's slice of
+    PROMO-part revenue sold into AMERICA, per order year. The share
+    divides the two ROUNDED sums (rule-12: the raw double sums are
+    traversal-order-dependent; rounding first pins both engines to
+    the same quantized operands before the one float divide).
+
+    Scale: part is the most selective dim — broadcast FIRST so the
+    fact scan drops ~5/6 of lineitem before the only big-big shuffle
+    (orderkey). customer joins shuffle-side (orders already carries
+    custkey); nation/region/supplier broadcast. The conditional-sum
+    form needs no second pass for the numerator."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select(F.col("n_nationkey").alias("n1_key")))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("supp_nation"))
+    flat = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(cu, o.o_custkey == cu.c_custkey)
+            .join(F.broadcast(n1), cu.c_nationkey == F.col("n1_key"))
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("volume"),
+                    "supp_nation"))
+    num = F.round(F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                               F.col("volume")).otherwise(0.0)), 2)
+    den = F.round(F.sum("volume"), 2)
+    return (flat.groupBy("o_year")
+            .agg(num.alias("nation_volume"),
+                 den.alias("total_volume"),
+                 F.round(num / den, 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@register("q21_waiting_suppliers", oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+             AND n.n_name IN ('NATION_1', 'NATION_3')
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+""")
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who alone held up multi-supplier
+    orders: count late lineitems (shipped > 60 days after the order
+    date — the fixture has no commit/receipt dates, so lateness is
+    adapted to the columns it has) in finished multi-supplier orders
+    where NO OTHER supplier was late.
+
+    The correlated EXISTS / NOT EXISTS pair decorrelates into ONE
+    per-order census: EXISTS(other supplier) == n_supps >= 2, and
+    NOT EXISTS(other late supplier) == n_late_supps = 1 given the
+    supplier itself is late (the sole late supplier must then be it).
+    The oracle keeps the textbook correlated form, so the driver hash
+    check proves the rewrite, not just the arithmetic.
+
+    Scale: ONE pass — lineitem joins orders on orderkey (the only
+    big-big exchange); the (orderkey, suppkey) fold and the per-order
+    census window both require only orderkey clustering, which the
+    join's hash(orderkey) partitioning already satisfies, so neither
+    adds an exchange and lineitem is scanned exactly once (plan
+    pinned). numwait = the supplier's late-line count in qualifying
+    orders == the textbook count of qualifying l1 rows."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_3"))
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.date_add(
+        F.col("o_orderdate").cast("date"), 60).cast("timestamp")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey", late.alias("is_late")))
+    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum(F.col("is_late").cast("long"))
+                     .alias("n_late_lines")))
+    w = Window.partitionBy("l_orderkey")
+    census = (per_supp
+              .withColumn("n_supps", F.count(F.lit(1)).over(w))
+              .withColumn("n_late_supps",
+                          F.sum((F.col("n_late_lines") > 0)
+                                .cast("long")).over(w)))
+    blamed = census.where((F.col("n_late_lines") > 0)
+                          & (F.col("n_supps") >= 2)
+                          & (F.col("n_late_supps") == 1))
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("s_suppkey", "s_name"))
+    return (blamed.join(F.broadcast(sn),
+                        blamed.l_suppkey == sn.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("n_late_lines").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")))
