@@ -75,8 +75,13 @@ _WINDOW: tuple[str, ...] = (
     "embed_lsh_multiprobe_topk",
     # (d) checked in r02 only
     "text_bpe_token_counts",
-    "dedup_ngram_jaccard_exact", "sample_stable_hash",
-    "mix_weights_by_source", "sample_quality_mix",
+    "dedup_ngram_jaccard_exact",
+    # new this session — Gopher/C4 line-format, content-marker, and
+    # alpha-word rules (displace the r02-green sampling trio
+    # sample_stable_hash / mix_weights_by_source / sample_quality_mix:
+    # first rows beat re-greens)
+    "text_bullet_ellipsis_lines", "text_code_markers",
+    "text_alpha_word_fraction",
     # rewritten r03: distinct-on-digest (audit flagged raw-text agg key)
     "dedup_exact_text",
     # new in r03 — first driver rows

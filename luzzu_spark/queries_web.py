@@ -433,3 +433,240 @@ def text_top_ngram_coverage(spark: SparkSession,
                  F.round(F.sum("cov").cast("double")
                          / F.sum("n_chars"), 6).alias("micro_coverage"))
             .orderBy("lang", "n"))
+
+
+# ---------------------------------------------------------------------
+# Gopher line-format rules (bullets / ellipses) and C4 content-marker
+# rules, over deterministically decorated pages (the fixture corpus is
+# clean prose, so the conditions are planted as doc_id-keyed wrappers,
+# mirrored exactly in the oracle SQL — same discipline as the
+# boilerplate footer synthesis above).
+# ---------------------------------------------------------------------
+
+_BULLET_PAGE_SQL = """
+  CASE WHEN doc_id % 7 = 0
+       THEN '- intro point' || chr(10) || '- ' || text
+            || chr(10) || '- closing point'
+       ELSE text END
+  || CASE WHEN doc_id % 9 = 0
+       THEN chr(10) || 'continued...' || chr(10) || 'read more...'
+       ELSE '' END
+"""
+
+
+def bullet_page_expr() -> F.Column:
+    """Deterministic multi-line page for the line-format rules: docs
+    with doc_id % 7 == 0 become pure bullet lists (fires the 90%
+    bullet rule), docs with doc_id % 9 == 0 gain two trailing
+    ellipsis lines (fires the 30% ellipsis rule); % 63 hits both.
+    Mirrored by _BULLET_PAGE_SQL."""
+    d = F.col("doc_id")
+    body = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("- intro point\n- "), F.col("text"),
+                 F.lit("\n- closing point"))).otherwise(F.col("text"))
+    tail = F.when(
+        d % 9 == 0,
+        F.lit("\ncontinued...\nread more...")).otherwise(F.lit(""))
+    return F.concat(body, tail)
+
+
+@register("text_bullet_ellipsis_lines", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_BULLET_PAGE_SQL} AS page FROM documents),
+per_doc AS (
+  SELECT doc_id, lang,
+         len(string_split(page, chr(10))) AS n_lines,
+         len(regexp_split_to_array(page, '(?m)^- ')) - 1 AS n_bullet,
+         len(regexp_split_to_array(page, '(?m)\\.\\.\\.$')) - 1
+           AS n_ellipsis
+  FROM pages)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_bullet * 10 > 9 * n_lines
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_flagged,
+       CAST(SUM(CASE WHEN n_ellipsis * 10 > 3 * n_lines
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_flagged,
+       CAST(SUM(n_bullet) AS BIGINT) AS total_bullet_lines,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_bullet_ellipsis_lines(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Gopher line-format rules: flag documents where > 90% of lines
+    start with a bullet marker, or > 30% of lines end with an
+    ellipsis. Both tested as exact integer cross-multiplications
+    (n*10 > 9*lines, n*10 > 3*lines) — no float crosses engines.
+
+    Scale: NO explode and no shuffle of text — the three line counts
+    are one-pass multiline-regex counts evaluated where the text
+    lives (regexp_count is codegen, rule 1's preferred form); only
+    (lang, 3 longs) per doc reaches the final hash-agg."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang", bullet_page_expr().alias("page")))
+    per_doc = pages.select(
+        "lang",
+        F.size(F.split("page", "\n")).alias("n_lines"),
+        F.regexp_count("page", F.lit("(?m)^- ")).alias("n_bullet"),
+        F.regexp_count("page", F.lit(r"(?m)\.\.\.$")).alias("n_ellipsis"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_bullet") * 10 > 9 * F.col("n_lines"))
+                       .cast("long")).alias("n_bullet_flagged"),
+                 F.sum((F.col("n_ellipsis") * 10 > 3 * F.col("n_lines"))
+                       .cast("long")).alias("n_ellipsis_flagged"),
+                 F.sum("n_bullet").cast("long")
+                 .alias("total_bullet_lines"),
+                 F.sum("n_lines").cast("long").alias("total_lines"))
+            .orderBy("lang"))
+
+
+_MARKED_PAGE_SQL = """
+  text
+  || CASE WHEN doc_id % 11 = 0
+       THEN chr(10) || 'function() {{ return 1; }}' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+       THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+       THEN chr(10) || 'please enable javascript to continue'
+       ELSE '' END
+"""
+
+
+def marked_page_expr() -> F.Column:
+    """Deterministic C4 content markers: code braces (% 11), lorem
+    ipsum filler (% 13), javascript-wall text (% 17). Mirrored by
+    _MARKED_PAGE_SQL (whose braces are doubled for str.format)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0,
+               F.lit("\nfunction() { return 1; }")).otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.lit("\nlorem ipsum dolor sit amet")).otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.lit("\nplease enable javascript to continue"))
+        .otherwise(F.lit("")))
+
+
+@register("text_code_markers", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_MARKED_PAGE_SQL.format()} AS page
+  FROM documents),
+per_doc AS (
+  SELECT lang,
+         CASE WHEN strpos(page, '{{') > 0 THEN 1 ELSE 0 END AS has_curly,
+         CASE WHEN strpos(page, 'lorem ipsum') > 0 THEN 1 ELSE 0 END
+           AS has_lorem,
+         CASE WHEN strpos(page, 'javascript') > 0 THEN 1 ELSE 0 END
+           AS has_js
+  FROM pages)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(has_curly) AS BIGINT) AS n_curly,
+       CAST(SUM(has_lorem) AS BIGINT) AS n_lorem,
+       CAST(SUM(has_js) AS BIGINT) AS n_js,
+       CAST(SUM(CASE WHEN has_curly + has_lorem + has_js > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_code_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 content-marker rules: drop pages containing a curly brace
+    (code), the phrase 'lorem ipsum' (template filler), or the word
+    'javascript' (JS-disabled walls). Counts per marker and the
+    union drop count per language.
+
+    Scale: three substring probes (contains → codegen instr, no
+    regex engine) in ONE projection where the text lives; only
+    (lang, 3 bits) per doc reaches the hash-agg."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang", marked_page_expr().alias("page")))
+    per_doc = pages.select(
+        "lang",
+        F.col("page").contains("{").cast("long").alias("has_curly"),
+        F.col("page").contains("lorem ipsum").cast("long")
+        .alias("has_lorem"),
+        F.col("page").contains("javascript").cast("long").alias("has_js"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("has_curly").alias("n_curly"),
+                 F.sum("has_lorem").alias("n_lorem"),
+                 F.sum("has_js").alias("n_js"),
+                 F.sum(((F.col("has_curly") + F.col("has_lorem")
+                         + F.col("has_js")) > 0).cast("long"))
+                 .alias("n_dropped"))
+            .orderBy("lang"))
+
+
+_NUMERIC_PAD_SQL = """
+  text || CASE WHEN doc_id % 8 = 0
+       THEN ' ' || repeat('7 42 ', GREATEST(n_chars // 10, 1))
+       ELSE '' END
+"""
+
+
+def numeric_pad_expr() -> F.Column:
+    """Docs with doc_id % 8 == 0 gain a numeric-token tail sized to
+    the document (~2 numeric tokens per 10 chars ≈ one per word), so
+    their alphabetic-word fraction drops to ~1/2 and the 80% Gopher
+    rule fires on exactly that cohort. Mirrored by _NUMERIC_PAD_SQL."""
+    pad = F.repeat(F.lit("7 42 "),
+                   F.greatest(F.floor(F.col("n_chars") / 10),
+                              F.lit(1)).cast("int"))
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit(" "), pad)).otherwise(F.lit("")))
+
+
+@register("text_alpha_word_fraction", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_NUMERIC_PAD_SQL} AS page FROM documents),
+toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(page), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM pages),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+  FROM toks GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_alpha * 5 < 4 * n_toks
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(ROUND(CAST(SUM(n_alpha) AS DOUBLE) / SUM(n_toks), 6)
+            AS DOUBLE) AS micro_alpha_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_alpha_word_fraction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Gopher alphabetic-word rule: flag documents where fewer than
+    80% of tokens contain at least one alphabetic character (tested
+    as the exact integer cross-multiplication n_alpha*5 < 4*n_toks).
+    The micro fraction is a ratio of exact BIGINT sums rounded once
+    (rule-12 discipline).
+
+    Scale: the per-token alpha probe runs as explode → per-doc
+    hash-agg on doc_id (the dominance-query shape) — token text
+    never shuffles past the map-side partial agg, and the per-doc
+    frame is two longs per document."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang", numeric_pad_expr().alias("page")))
+    tok = pages.select(
+        "doc_id", "lang",
+        F.explode(F.array_remove(
+            F.split(F.trim("page"), r"\s+"), "")).alias("w"))
+    per_doc = (tok.groupBy("doc_id", "lang")
+               .agg(F.count(F.lit(1)).alias("n_toks"),
+                    F.sum(F.col("w").rlike("[A-Za-z]").cast("long"))
+                    .alias("n_alpha")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_alpha") * 5 < 4 * F.col("n_toks"))
+                       .cast("long")).alias("n_flagged"),
+                 F.round(F.sum("n_alpha").cast("double")
+                         / F.sum("n_toks"), 6).alias("micro_alpha_frac"))
+            .orderBy("lang"))
