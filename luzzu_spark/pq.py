@@ -1,0 +1,235 @@
+"""IVF-PQ: product-quantized approximate nearest-neighbor search.
+
+The third ANN path, and the one that actually pays for itself at
+100 TB: the corpus embedding column (dim × 4-8 bytes per vector) is
+compressed to `m` BYTES per vector (m=8 on dim=64 → 32×), so the
+searchable index for a 10^12-vector corpus fits in a few TB instead of
+a few hundred, and every probe streams codes instead of floats.
+
+FAISS's IVFPQ split, re-expressed for Spark (public algorithm:
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011):
+
+* **Train driver-side on the bounded hash-sample** (reuses
+  ivf.sample_training_matrix — max_train vectors, ONE job, no corpus
+  collect). Two models come out of the same sample: the IVF coarse
+  centroids (Voronoi cells) and, per subspace j of the unit-normalized
+  vector, a k-means codebook of ≤ 2^nbits codewords.
+* **Encode where the vectors live.** A Series→Series pandas UDF maps
+  each vector to its m nearest-codeword ids packed as a BinaryType of
+  m bytes — one numpy argmin per subspace per Arrow batch. The index
+  frame carries (vec_id, list_id, code) ONLY; the float vector column
+  is dropped before anything shuffles.
+* **Search = probe + ADC + optional refine.** Queries explode to
+  their nprobe cells and broadcast (ivf._probed_queries); candidates
+  in probed cells score by asymmetric distance computation — the
+  query stays a float vector, the candidate is looked up codeword-by-
+  codeword (one fancy-index gather + einsum per Arrow batch). With
+  refine > 0 the top k*refine ADC candidates join back to the
+  embeddings table BY ID (a small equi-join, never a corpus scan) and
+  re-rank by exact cosine, so reported sims are true cosines.
+
+Exactness knob (pinned in tests/test_dedup_similarity.py): with
+nprobe == n_lists and a refine shortlist covering the whole corpus,
+IVF-PQ degenerates to exact brute force — ADC only selects the
+shortlist, the refine pass scores it exactly.
+
+Determinism: sampling, codebook seeding, and iteration counts are all
+fixed functions of the input; ties in argmin resolve to the lowest
+codeword id (numpy argmin contract), so two runs at any parallelism
+encode identical codes and return identical neighbors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType
+
+from luzzu_spark.ivf import (N_LISTS, _probed_queries, _unit_rows,
+                             sample_training_matrix, train_centroids)
+from luzzu_spark.similarity import _mat, _splitmix64_vec
+
+PQ_M = 8          # subquantizers (code bytes per vector)
+PQ_NBITS = 8      # ≤ 2^nbits codewords per subspace (byte codes: ≤ 8)
+PQ_KMEANS_ITERS = 10
+
+
+def _kmeans_1d(X: np.ndarray, k: int, iters: int,
+               seed_salt: int) -> np.ndarray:
+    """Plain (euclidean) k-means on a (n, dsub) matrix — driver-side
+    numpy, deterministic splitmix64-derived seeds. Returns (k', dsub)
+    with k' = min(k, n)."""
+    n = X.shape[0]
+    k = min(k, n)
+    with np.errstate(over="ignore"):
+        seed_idx = (_splitmix64_vec(
+            np.arange(k, dtype=np.uint64)
+            + np.uint64(seed_salt * 0x9E3779B9)) % np.uint64(n)
+        ).astype(np.int64)
+    seen: set[int] = set()
+    seeds = []
+    for i in seed_idx:
+        j = int(i)
+        while j in seen:
+            j = (j + 1) % n
+        seen.add(j)
+        seeds.append(j)
+    C = X[seeds].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            # empty cell keeps its previous codeword (deterministic)
+    return C
+
+
+def train_pq_codebooks(train: np.ndarray, m: int = PQ_M,
+                       nbits: int = PQ_NBITS,
+                       iters: int = PQ_KMEANS_ITERS) -> np.ndarray:
+    """Per-subspace codebooks over UNIT-normalized training vectors.
+
+    Returns (m, k, dsub) with k = min(2^nbits, n_train); dim must be
+    divisible by m. Unit-normalizing first makes the later ADC inner
+    product an approximation of cosine."""
+    X = _unit_rows(np.ascontiguousarray(train, dtype=np.float64))
+    n, dim = X.shape
+    if n == 0:
+        raise ValueError("empty training sample")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(1 << nbits, n)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _kmeans_1d(X[:, j * dsub:(j + 1) * dsub], k, iters,
+                              seed_salt=j + 1)
+    return books
+
+
+def _encode_udf(codebooks: np.ndarray):
+    """vector → m-byte PQ code (BinaryType): per subspace, the id of
+    the nearest codeword of the unit-normalized vector. One matmul +
+    argmin per subspace per Arrow batch."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = B.shape
+
+    @pandas_udf(BinaryType())
+    def f(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = _unit_rows(_mat(v)).reshape(len(v), m, dsub)
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for j in range(m):
+            d = (-2.0 * (V[:, j, :] @ B[j].T)
+                 + (B[j] * B[j]).sum(axis=1)[None, :])
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pd.Series([row.tobytes() for row in codes])
+    return f.asNondeterministic()
+
+
+def _adc_udf(codebooks: np.ndarray):
+    """Asymmetric distance: approx cosine(q, decode(code)) — the query
+    stays float, the candidate is a codeword gather. Vectorized per
+    Arrow batch: one reshape, one fancy-index, one einsum."""
+    Bk = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = Bk.shape
+
+    @pandas_udf(DoubleType())
+    def f(qv: pd.Series, code: pd.Series) -> pd.Series:
+        n = len(qv)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        Q = _unit_rows(_mat(qv)).reshape(n, m, dsub)
+        codes = np.frombuffer(b"".join(code.tolist()),
+                              dtype=np.uint8).reshape(n, m)
+        CW = Bk[np.arange(m)[None, :], codes]          # (n, m, dsub)
+        return pd.Series(np.einsum("nmd,nmd->n", Q, CW))
+    return f.asNondeterministic()
+
+
+def train_ivfpq(embeddings: DataFrame, n_lists: int = N_LISTS,
+                m: int = PQ_M, nbits: int = PQ_NBITS,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """One bounded sample job → both models (coarse centroids, PQ
+    codebooks). Returns (centroids (n_lists, dim), codebooks
+    (m, k, dsub)) — kilobytes, broadcast by UDF capture."""
+    train = sample_training_matrix(embeddings, id_col=id_col,
+                                   vec_col=vec_col)
+    return train_centroids(train, n_lists), train_pq_codebooks(
+        train, m=m, nbits=nbits)
+
+
+def build_pq_index(embeddings: DataFrame, centroids: np.ndarray,
+                   codebooks: np.ndarray, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id, code) — the compressed searchable index.
+
+    The float vector column is dropped HERE, before any shuffle or
+    sink: what persists/moves per corpus vector is one int + m bytes.
+    Persist partitioned by list_id (ivf.persist_index) for scan-time
+    cell pruning at production scale."""
+    from luzzu_spark.ivf import _assign_udf
+    return embeddings.select(
+        F.col(id_col),
+        _assign_udf(centroids)(F.col(vec_col)).alias("list_id"),
+        _encode_udf(codebooks)(F.col(vec_col)).alias("code"))
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               nprobe: int = 4, n_lists: int = N_LISTS, m: int = PQ_M,
+               nbits: int = PQ_NBITS, refine: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               models: tuple[np.ndarray, np.ndarray] | None = None,
+               ) -> DataFrame:
+    """IVF-PQ approximate top-k cosine neighbors.
+
+    refine > 0: top k*refine ADC candidates per query re-rank by exact
+    cosine fetched BY ID from the embeddings table (small equi-join;
+    the corpus is never rescanned) — reported `sim` is then the true
+    cosine. refine == 0 reports raw ADC scores as `sim`.
+    Unsorted — the deterministic sort lives in the catalog wrapper."""
+    from luzzu_spark.similarity import cosine_expr
+    if models is None:
+        models = train_ivfpq(embeddings, n_lists, m, nbits,
+                             id_col, vec_col)
+    centroids, codebooks = models
+    index = build_pq_index(embeddings, centroids, codebooks,
+                           id_col, vec_col)
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    adc = (index.join(F.broadcast(q), "list_id")
+           .where(F.col("query_id") != F.col(id_col))
+           .select("query_id", F.col(id_col).alias("neighbor_id"),
+                   "qvec",
+                   _adc_udf(codebooks)(F.col("qvec"),
+                                       F.col("code")).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id"))
+    if refine <= 0:
+        return (adc.withColumn("rnk",
+                               F.row_number().over(w).cast("long"))
+                .where(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc").alias("sim"), "rnk"))
+    shortlist = (adc.withColumn("arnk", F.row_number().over(w))
+                 .where(F.col("arnk") <= k * refine)
+                 .select("query_id", "neighbor_id", "qvec"))
+    exact = (shortlist.join(
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nvec")),
+        "neighbor_id")
+        .select("query_id", "neighbor_id",
+                cosine_expr(F.col("qvec"), F.col("nvec")).alias("sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (exact.withColumn("rnk", F.row_number().over(w2).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim", "rnk"))

@@ -123,6 +123,24 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rnk"))
 
 
+@register("embed_ivfpq_topk")  # rows-only: model-derived cells + codes
+def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k — the compressed ANN path: corpus
+    vectors quantize to m=8 BYTES (32× smaller than the float column),
+    queries probe nprobe Voronoi cells, candidates score by asymmetric
+    distance, and the top k*refine shortlist re-ranks by exact cosine
+    fetched by id. Rows-only: cells/codebooks are model-derived; the
+    exactness knob (full probe + full refine ≡ brute force) and the
+    ADC error bound are pinned in tests/test_dedup_similarity.py."""
+    from luzzu_spark.pq import ivfpq_topk
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    return (ivfpq_topk(e, q, k=5, nprobe=4, n_lists=16, refine=3)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rnk")
+            .orderBy("query_id", "rnk"))
+
+
 # ---- dedup family -------------------------------------------------------
 
 @register("dedup_minhash_pairs")  # rows-only: hash-seeded signatures

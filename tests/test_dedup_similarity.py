@@ -412,3 +412,89 @@ def test_near_dup_clusters_random_graph_vs_union_find(spark):
     got = {r.doc_id: r.cluster
            for r in dedup.near_dup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_ivfpq_full_probe_full_refine_equals_brute_force(spark):
+    """The IVF-PQ exactness knob: nprobe == n_lists probes every cell
+    and k*refine ≥ |corpus| puts every candidate on the exact-rerank
+    shortlist, so the result must equal brute force exactly — ADC then
+    only orders the shortlist, the refine pass scores it exactly."""
+    from luzzu_spark import pq
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    want = [(r["query_id"], r["neighbor_id"], r["rnk"], round(r["sim"], 9))
+            for r in similarity.brute_force_topk(emb, q, k=5)
+            .select("query_id", "neighbor_id", "rnk", "sim")
+            .orderBy("query_id", "rnk").collect()]
+    got = [(r["query_id"], r["neighbor_id"], r["rnk"], round(r["sim"], 9))
+           for r in pq.ivfpq_topk(emb, q, k=5, nprobe=8, n_lists=8,
+                                  refine=100)
+           .orderBy("query_id", "rnk").collect()]
+    assert got == want
+
+
+def test_ivfpq_codes_compressed_and_deterministic(spark):
+    """The index frame is (vec_id, list_id, code) ONLY — the float
+    vector column is dropped before anything shuffles — with exactly m
+    bytes per vector, and encoding is deterministic across builds and
+    partitionings."""
+    from luzzu_spark import pq
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, books = pq.train_ivfpq(emb, n_lists=8, m=8)
+    assert books.shape[0] == 8 and books.shape[2] == 64 // 8
+    idx = pq.build_pq_index(emb, cents, books)
+    assert idx.columns == ["vec_id", "list_id", "code"]
+    rows1 = sorted((r["vec_id"], r["list_id"], bytes(r["code"]))
+                   for r in idx.collect())
+    assert all(len(c) == 8 for _, _, c in rows1)  # 32x vs 64 floats
+    rows2 = sorted(
+        (r["vec_id"], r["list_id"], bytes(r["code"])) for r in
+        pq.build_pq_index(emb.repartition(7), cents, books).collect())
+    assert rows1 == rows2
+
+
+def test_ivfpq_planted_twin_top1(spark):
+    """A barely-perturbed twin encodes to the same (or adjacent)
+    codewords and shares the query's Voronoi cell: nprobe=1 with the
+    default refine must return it top-1 with true cosine ≈ 1."""
+    import pandas as pd
+    from luzzu_spark import pq
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.toPandas()
+    planted = base.head(5).copy()
+    planted["vec_id"] = planted["vec_id"] + 100000
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: [float(v[0]) * 1.0001 + 1e-5]
+        + [float(x) for x in v[1:]])
+    both = spark.createDataFrame(pd.concat([base, planted]),
+                                 schema=emb.schema)
+    q = both.where(F.col("vec_id") < 5)
+    got = {r["query_id"]: (r["neighbor_id"], r["sim"])
+           for r in pq.ivfpq_topk(both, q, k=1, nprobe=1, n_lists=8)
+           .collect()}
+    for qid in range(5):
+        nid, sim = got[qid]
+        assert nid == qid + 100000, (qid, got)
+        assert sim > 0.999, (qid, sim)
+
+
+def test_ivfpq_adc_approximation_quality(spark):
+    """ADC-only scores (refine=0) approximate true cosine: bounded
+    error on the fixture (measured max ≈ 0.10 with 256-codeword books)
+    and full-probe ADC recall@5 well above chance on RANDOM vectors —
+    the hard no-structure case (5/499 ≈ 0.01 at chance)."""
+    from luzzu_spark import pq
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    allcos = {(r["query_id"], r["neighbor_id"]): r["sim"]
+              for r in similarity.brute_force_topk(emb, q,
+                                                   k=500).collect()}
+    out = pq.ivfpq_topk(emb, q, k=5, nprobe=8, n_lists=8,
+                        refine=0).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert len(got & truth) / len(truth) >= 0.4
+    errs = [abs(allcos[(r["query_id"], r["neighbor_id"])] - r["sim"])
+            for r in out]
+    assert max(errs) < 0.2, max(errs)
