@@ -134,19 +134,29 @@ def _latest_scaling_run() -> dict:
     try:
         with open(path) as f:
             hist = json.load(f)
-        last = hist["runs"][-1]
+        runs = hist["runs"]
+        # runs carrying a degraded-host note are recorded for honesty
+        # but are invalid as measurements (contended box, documented
+        # in their note); surface the latest VALID run
+        valid = [r for r in runs if "degraded-host"
+                 not in r.get("note", "")]
+        last = valid[-1]
     except (OSError, KeyError, IndexError, ValueError):
         return {"measured_by": "scripts/executor_scaling_bench.py",
                 "note": "no SCALING.json history found"}
-    return {
+    out = {
         "measured_by": "scripts/executor_scaling_bench.py "
-                       "(latest entry of SCALING.json runs)",
+                       "(latest valid entry of SCALING.json runs)",
         "throughput_1x8core_executor": last["throughput_1_executor"],
         "throughput_4x8core_executors":
             last["throughput_4_executors_aggregate"],
         "efficiency_n_to_4n": last["efficiency"],
         "target": 0.8,
     }
+    n_degraded = len(runs) - len(valid)
+    if n_degraded:
+        out["degraded_host_runs_excluded"] = n_degraded
+    return out
 
 
 def main() -> None:

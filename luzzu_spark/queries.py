@@ -64,8 +64,12 @@ _WINDOW: tuple[str, ...] = (
     "window_distribution_stats", "metrics_run_delta",
     "pipeline_confusion_f1", "multimodal_frame_hashes",
     "multimodal_image_features",
-    # (a) never driver-checked (rows-only by contract)
-    "dedup_near_survivors", "embed_near_survivors",
+    # new this session — encoding-damage rule + DSIR importance
+    # weighting, both oracle-hash-checkable (displace the rows-only
+    # dedup_near_survivors / embed_near_survivors, which keep their
+    # planted-twin + union-find local tests: hash slots beat
+    # rows-only slots, VERDICT r02 item 1 principle)
+    "text_encoding_quality", "dsir_importance_weights",
     # (b) checked in r01 only
     "agg_salted_by_source", "join_salted_docs_dims",
     "window_top2_docs_per_source",

@@ -16,7 +16,7 @@ unlike document text (cf. the md5-keying rule for text shuffles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from luzzu_spark.fixtures import as_webpages, load_table, spread
@@ -669,4 +669,241 @@ def text_alpha_word_fraction(spark: SparkSession,
                        .cast("long")).alias("n_flagged"),
                  F.round(F.sum("n_alpha").cast("double")
                          / F.sum("n_toks"), 6).alias("micro_alpha_frac"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------
+# Encoding-damage rule, token-budget sequence packing, and DSIR-style
+# importance weighting - training-data pipeline ops over the same
+# planted-decoration discipline (fixture text is clean, so conditions
+# are synthesized as doc_id-keyed wrappers mirrored in the oracle).
+# ---------------------------------------------------------------------
+
+_DAMAGED_PAGE_SQL = """
+  text
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' ' || repeat(chr(65533), GREATEST(n_chars // 100, 1))
+       ELSE '' END
+  || CASE WHEN doc_id % 19 = 0
+       THEN repeat(chr(1) || chr(2), 3) ELSE '' END
+"""
+
+
+def damaged_page_expr() -> F.Column:
+    """Deterministic encoding damage: docs with doc_id % 7 == 0 gain a
+    U+FFFD replacement-char tail sized to ~1% of the document
+    (mojibake from a bad charset transcode); doc_id % 19 == 0 gain six
+    C0 control bytes (binary bleed-through). Control bytes are built
+    with chr() so no literal control characters sit in source.
+    Mirrored by _DAMAGED_PAGE_SQL."""
+    d = F.col("doc_id")
+    moji = F.repeat(F.expr("chr(65533)"),
+                    F.greatest(F.floor(F.col("n_chars") / 100),
+                               F.lit(1)).cast("int"))
+    return F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" "), moji)).otherwise(F.lit("")),
+        F.when(d % 19 == 0,
+               F.expr("repeat(chr(1) || chr(2), 3)")).otherwise(F.lit("")))
+
+
+@register("text_encoding_quality", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_DAMAGED_PAGE_SQL} AS page FROM documents),
+per_doc AS (
+  SELECT lang, length(page) AS n_all,
+         length(page) - length(replace(page, chr(65533), ''))
+           AS n_moji,
+         length(page) - length(replace(replace(page, chr(1), ''),
+                                       chr(2), '')) AS n_ctrl
+  FROM pages)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_moji * 200 > n_all THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mojibake,
+       CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ctrl_docs,
+       CAST(ROUND(CAST(SUM(n_moji + n_ctrl) AS DOUBLE) / SUM(n_all), 6)
+            AS DOUBLE) AS micro_bad_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage rule (a real Common-Crawl filter: charset
+    mis-detection leaves U+FFFD runs; binary bleed-through leaves C0
+    control bytes): flag docs whose replacement-char fraction exceeds
+    0.5% (exact integer cross-multiplication n_moji*200 > len) and
+    docs containing ANY control byte. Micro bad-char fraction is a
+    ratio of exact BIGINT sums rounded once (rule-12 discipline).
+
+    Scale: occurrence counts via the length-difference idiom - two
+    `replace` + `length` codegen expressions in ONE projection where
+    the text lives, no regex engine, no explode; only (lang, 3 longs)
+    per doc reaches the hash-agg."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang", damaged_page_expr().alias("page")))
+    n_all = F.length("page")
+    n_moji = n_all - F.length(F.expr("replace(page, chr(65533), '')"))
+    n_ctrl = n_all - F.length(
+        F.expr("replace(replace(page, chr(1), ''), chr(2), '')"))
+    per_doc = pages.select(
+        "lang", n_all.alias("n_all"), n_moji.alias("n_moji"),
+        n_ctrl.alias("n_ctrl"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_moji") * 200 > F.col("n_all"))
+                       .cast("long")).alias("n_mojibake"),
+                 F.sum((F.col("n_ctrl") > 0).cast("long"))
+                 .alias("n_ctrl_docs"),
+                 F.round(F.sum(F.col("n_moji") + F.col("n_ctrl"))
+                         .cast("double") / F.sum("n_all"), 6)
+                 .alias("micro_bad_frac"))
+            .orderBy("lang"))
+
+
+PACK_BUDGET = 256  # tokens per training sequence (fixture scale)
+
+
+@register("pack_token_sequences", oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n_toks
+  FROM documents),
+packed AS (
+  SELECT source, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_toks) + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+         AS n_seqs,
+       CAST(SUM(CASE WHEN n_toks > 0 AND
+                  (cum_before + n_toks - 1) // {PACK_BUDGET}
+                   > cum_before // {PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       CASE WHEN SUM(n_toks) = 0 THEN 0.0
+            ELSE CAST(ROUND(CAST(SUM(n_toks) AS DOUBLE)
+                 / (((SUM(n_toks) + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                    * {PACK_BUDGET}), 6) AS DOUBLE) END AS fill_frac
+FROM packed GROUP BY source ORDER BY source
+""")
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents fill
+    fixed-budget token sequences contiguously (deterministic doc_id
+    order within source), so the packer's plan - how many sequences
+    each source yields, how many documents straddle a sequence
+    boundary, and the fill fraction - is a pure function of the
+    corpus. All boundary math is exact BIGINT integer division on
+    running sums; the only float is the final fill ratio, rounded
+    once from exact sums (rule-12 discipline).
+
+    Scale: ordered packing is inherently sequential WITHIN a pack
+    unit, so the unit is (source) here and (source, shard) at 100 TB
+    - one shuffle on the pack key, a running-sum window per unit over
+    (doc_id, n_toks) pairs only (text never enters the window), then
+    a hash-agg. Zero-token docs are pinned on both engines: they pack
+    nowhere (never straddle) but still count in n_docs."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    b = PACK_BUDGET
+    t = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "source",
+                 F.size(tokens_expr("text")).cast("long").alias("n_toks")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    straddles = ((F.col("n_toks") > 0)
+                 & (F.expr(f"(cum_before + n_toks - 1) DIV {b}")
+                    > F.expr(f"cum_before DIV {b}")))
+    total = F.sum("n_toks")
+    n_seqs = F.expr(f"(sum(n_toks) + {b} - 1) DIV {b}")
+    return (packed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 total.cast("long").alias("total_tokens"),
+                 n_seqs.cast("long").alias("n_seqs"),
+                 F.sum(straddles.cast("long")).alias("n_straddlers"),
+                 F.when(total == F.lit(0), F.lit(0.0))
+                 .otherwise(F.round(total.cast("double")
+                                    / (n_seqs * F.lit(b)), 6))
+                 .alias("fill_frac"))
+            .orderBy("source"))
+
+
+@register("dsir_importance_weights", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' ')))), 1, 3) AS bh
+  FROM t WHERE len(toks) >= 2),
+wt AS (
+  SELECT bh,
+         (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000
+           // (COUNT(*) + 1) AS w
+  FROM bg GROUP BY bh),
+per_doc AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(SUM(wt.w) AS BIGINT) AS total_w,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bg JOIN wt USING (bh) GROUP BY bg.doc_id, bg.lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN total_w > n_bigrams * 450000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+       CAST(ROUND(CAST(SUM(total_w) AS DOUBLE) / SUM(n_bigrams), 6)
+            AS DOUBLE) AS mean_bucket_weight
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def dsir_importance_weights(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, public
+    method): score every document by how target-like its
+    hashed-bigram profile is. The target distribution here is the
+    corpus's English slice; bucket weight = smoothed integer ratio
+    (target_count+1)*1e6 // (raw_count+1) over 4096 md5-prefix
+    buckets, per-doc score = exact BIGINT sum of its bigram
+    instances' bucket weights. Flag docs whose mean bucket weight
+    clears 0.45x parity — just above the corpus-wide expected
+    bucket weight, so it actually separates (measured at sf0.01: 92%
+    of English docs flag vs ~20% of the rest; integer
+    cross-multiplication total_w > n_bigrams * 450000); the per-lang mean is a ratio of exact BIGINT
+    sums rounded once - no float crosses engines.
+
+    Scale: two corpus passes, inherent to importance estimation
+    (estimate the bucket table, then score) - at 100 TB pass 1 runs
+    on a hash-sample (sample_stable_hash's reshard-invariant
+    predicate composes directly). Bigrams reduce to 3-hex-char md5
+    prefixes BEFORE any shuffle (fixed-width keys, TEXT-KEY audit
+    discipline); the 4096-row weight table broadcasts, so scoring
+    shuffles only (doc_id, lang) partial sums."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "lang", tokens_expr("text").alias("toks")))
+    grams = F.expr("""
+      CASE WHEN size(toks) >= 2 THEN
+        transform(sequence(1, size(toks) - 1),
+          i -> substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 3))
+      ELSE CAST(array() AS array<string>) END""")
+    bg = (d.select("doc_id", "lang", F.explode(grams).alias("bh")))
+    wt = (bg.groupBy("bh")
+          .agg(F.expr("(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+                      " + 1) * 1000000 DIV (count(*) + 1)").alias("w")))
+    per_doc = (bg.join(F.broadcast(wt), "bh")
+               .groupBy("doc_id", "lang")
+               .agg(F.sum("w").cast("long").alias("total_w"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("total_w")
+                        > F.col("n_bigrams") * 450000).cast("long"))
+                 .alias("n_target_like"),
+                 F.round(F.sum("total_w").cast("double")
+                         / F.sum("n_bigrams"), 6)
+                 .alias("mean_bucket_weight"))
             .orderBy("lang"))

@@ -26,16 +26,24 @@ def test_window_is_the_first_50():
 
 
 def test_window_covers_never_driver_checked_queries():
-    """Every query that existed in r02 but never received a driver row
-    in r01 or r02 must sit inside the round-3 window."""
+    """Every ORACLE-checkable query that never received a driver row in
+    r01 or r02 must sit inside the round-3 window — except a declared
+    overflow list when first-timers outnumber the 50 slots. Rows-only
+    ops are exempt: they'd occupy a hash-check slot for a weaker
+    rows-count record (VERDICT r02 item 1), and their correctness
+    contracts live in dedicated local tests instead."""
     checked = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
         path = os.path.join(_REPO, fname)
         with open(path) as f:
             checked |= set(json.load(f))
-    never = [n for n in entrymod.queries() if n not in checked
-             and n != "embed_lsh_multiprobe_topk"]  # new in r03
-    missing = [n for n in never if n not in _WINDOW]
+    oracles = set(entrymod.oracle_sql())
+    # r03 first-timers that no longer fit the 50-slot budget; covered
+    # by the local DuckDB parity twin until a future round's rotation
+    overflow = {"pack_token_sequences"}
+    must = [n for n in entrymod.queries()
+            if n not in checked and n in oracles and n not in overflow]
+    missing = [n for n in must if n not in _WINDOW]
     assert not missing, f"never-driver-checked but outside window: {missing}"
 
 
