@@ -197,7 +197,6 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     the corpus is never rescanned) — reported `sim` is then the true
     cosine. refine == 0 reports raw ADC scores as `sim`.
     Unsorted — the deterministic sort lives in the catalog wrapper."""
-    from luzzu_spark.similarity import cosine_expr
     if models is None:
         models = train_ivfpq(embeddings, n_lists, m, nbits,
                              id_col, vec_col)
@@ -205,6 +204,42 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     index = build_pq_index(embeddings, centroids, codebooks,
                            id_col, vec_col)
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    return _score_pq(index, q, embeddings, codebooks, k, refine,
+                     id_col, vec_col)
+
+
+def ivfpq_topk_over_index(spark, index_path: str, queries: DataFrame,
+                          models: tuple[np.ndarray, np.ndarray],
+                          embeddings: DataFrame, k: int = 5,
+                          nprobe: int = 4, refine: int = 3,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Search a PERSISTED PQ index with scan-time cell pruning — the
+    production layout: build_pq_index → ivf.persist_index(…, path)
+    writes the (id, list_id, m-byte code) frame partitioned by
+    list_id, and a search pushes its probe list into the scan as a
+    `list_id IN (…)` partition filter, so only the probed cell
+    DIRECTORIES of the compressed index are opened (same
+    PartitionFilters contract as ivf_topk_over_index, pinned in
+    tests/test_plans.py). `embeddings` serves the refine stage only
+    (exact vectors fetched BY ID for the shortlist); with refine=0 it
+    is never read. Results are identical to ivfpq_topk with the same
+    models/nprobe/refine."""
+    centroids, codebooks = models
+    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    lists = sorted({r["list_id"]
+                    for r in q.select("list_id").distinct().collect()})
+    index = (spark.read.parquet(index_path)
+             .where(F.col("list_id").isin(lists)))
+    return _score_pq(index, q, embeddings, codebooks, k, refine,
+                     id_col, vec_col)
+
+
+def _score_pq(index: DataFrame, q: DataFrame, embeddings: DataFrame,
+              codebooks: np.ndarray, k: int, refine: int,
+              id_col: str, vec_col: str) -> DataFrame:
+    """Shared ADC + optional exact-refine scoring over probed cells."""
+    from luzzu_spark.similarity import cosine_expr
     adc = (index.join(F.broadcast(q), "list_id")
            .where(F.col("query_id") != F.col(id_col))
            .select("query_id", F.col(id_col).alias("neighbor_id"),

@@ -256,3 +256,34 @@ def test_q17_subquery_is_decorrelated(spark):
     assert "scalar-subquery" not in opt.lower(), opt
     assert plan.count("Aggregate") >= 1 and "Join" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_persisted_index_prunes_at_scan_time(spark, tmp_path):
+    """The compressed PQ index shares the production layout: persisted
+    partitioned by list_id, a search pushes its probe list into the
+    scan as a partition filter (PartitionFilters) and returns exactly
+    what the in-memory ivfpq path returns with the same models."""
+    import re
+
+    from luzzu_spark import ivf, pq
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    models = pq.train_ivfpq(emb, n_lists=8)
+    indexed = pq.build_pq_index(emb, *models)
+    path = str(tmp_path / "pq_index")
+    ivf.persist_index(indexed, path)
+
+    out = pq.ivfpq_topk_over_index(spark, path, q, models, emb,
+                                   k=5, nprobe=2)
+    plan = _plan(out)
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    want = sorted((r["query_id"], r["rnk"], r["neighbor_id"])
+                  for r in pq.ivfpq_topk(emb, q, k=5, nprobe=2,
+                                         n_lists=8,
+                                         models=models).collect())
+    got = sorted((r["query_id"], r["rnk"], r["neighbor_id"])
+                 for r in out.collect())
+    assert got == want
