@@ -32,6 +32,10 @@ SCORE_QUERIES = (
     "text_stopword_fraction",
     "text_token_stats",
     "text_line_stats",
+    # r03 additions with token/length denominators
+    "text_encoding_quality",
+    "pack_token_sequences",
+    "dsir_importance_weights",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,
