@@ -222,6 +222,24 @@ def minhash_signatures(df: DataFrame,
     return sigs
 
 
+def band_rows(sigs: DataFrame, id_col: str = "doc_id",
+              bands: int = LSH_BANDS) -> DataFrame:
+    """(id, band, bh): LSH band hashes of a signature frame — the
+    shared blocking key rows for the in-batch self-join
+    (lsh_candidate_pairs) and the committed cross-run index
+    (commit_minhash_index). More bands ⇒ higher recall at lower
+    thresholds (collision prob 1-(1-J^rows)^bands)."""
+    rows = MINHASH_K // bands
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.col("sig")[i * rows + r].cast("string")
+                            for r in range(rows)])).alias("bh"))
+        for i in range(bands)])
+    return (sigs.withColumn("b", F.explode(band_arr))
+            .select(F.col(id_col), F.col("b.band"), F.col("b.bh")))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = LSH_BANDS) -> DataFrame:
     """Band the signatures and self-join buckets → candidate pairs
@@ -236,18 +254,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
       dropDuplicates shuffle) and only the surviving pairs join the
       signature frame (twice, both joins reusing the sig exchange) to
       count matching components for est_jaccard."""
-    rows = MINHASH_K // bands  # rows per band; more bands ⇒ higher
-    # recall at lower thresholds (collision prob 1-(1-J^rows)^bands)
     sigs = sigs.repartition(F.col(id_col))  # one exchange, reused 3×
-    band_arr = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.col("sig")[i * rows + r].cast("string")
-                            for r in range(rows)])).alias("bh"))
-        for i in range(bands)])
-    exploded = (sigs.withColumn("b", F.explode(band_arr))
-                .select(F.col(id_col), F.col("b.band"), F.col("b.bh"))
-                .repartition(F.col("band"), F.col("bh")))
+    exploded = band_rows(sigs, id_col, bands).repartition(
+        F.col("band"), F.col("bh"))
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "bh")
     pairs = (left.join(right, ["band", "bh"])
@@ -393,6 +402,98 @@ def seen_anti_join(batch: DataFrame, seen: DataFrame,
     Key 'url' dedups re-crawled pages; 'content_hash' dedups
     re-hosted identical content."""
     return batch.join(seen.select(key), key, "left_anti")
+
+
+def commit_minhash_index(docs: DataFrame, sigs_table: str,
+                         bands_table: str, path_prefix: str,
+                         id_col: str = "doc_id",
+                         bands: int = LSH_BANDS, n_buckets: int = 16,
+                         mode: str = "overwrite") -> None:
+    """Persist a run's MinHash index for cross-run NEAR-dup dedup —
+    the approximate twin of the exact seen-set (seen_anti_join):
+    day 2 must drop documents that are near-duplicates of anything
+    day 1 committed, WITHOUT recomputing day 1.
+
+    Two catalog tables:
+    * bands_table: (id, band, bh) bucketed+sorted by (band, bh) — the
+      daily candidate join reads it bucket-aligned with ZERO exchange
+      on the committed side (only the new batch's band rows shuffle);
+    * sigs_table: (id, sig) bucketed by id — the est-Jaccard verify
+      stage fetches committed signatures BY ID, also exchange-free.
+
+    mode='append' commits a later run's surviving docs into the same
+    index, growing the seen-set run over run. Storage: (int, long)
+    band keys ×bands plus 32 longs per doc — the text never persists
+    here and never moves at search time."""
+    sigs = minhash_signatures(docs, id_col)
+    (band_rows(sigs, id_col, bands).write.mode(mode)
+     .option("path", f"{path_prefix}_bands")
+     .bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+     .saveAsTable(bands_table))
+    (sigs.write.mode(mode)
+     .option("path", f"{path_prefix}_sigs")
+     .bucketBy(n_buckets, id_col).sortBy(id_col)
+     .saveAsTable(sigs_table))
+
+
+def incremental_minhash_pairs(spark, new_docs: DataFrame,
+                              sigs_table: str, bands_table: str,
+                              threshold: float = 0.5,
+                              id_col: str = "doc_id",
+                              bands: int = LSH_BANDS) -> DataFrame:
+    """(new_id, old_id, est_jaccard): today's documents that are
+    near-duplicates of the COMMITTED corpus index — the incremental
+    path that makes daily near-dup dedup O(batch), not O(corpus).
+
+    Scale shape: the batch's band rows shuffle once to align with the
+    bucketed committed bands table (the 10^12-row index never moves);
+    colliding pairs collapse by (new_id, old_id); committed signatures
+    attach via the id-bucketed sigs table (again exchange-free on the
+    committed side); the interpreted zip_with runs only over surviving
+    candidates — the same discipline as lsh_candidate_pairs."""
+    new_sigs = minhash_signatures(new_docs, id_col).repartition(
+        F.col(id_col))
+    cand = (band_rows(new_sigs, id_col, bands)
+            .withColumnRenamed(id_col, "new_id")
+            .join(spark.table(bands_table)
+                  .withColumnRenamed(id_col, "old_id"), ["band", "bh"])
+            .where(F.col("new_id") != F.col("old_id"))
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("n_band_matches")))
+    sig_new = new_sigs.select(F.col(id_col).alias("new_id"),
+                              F.col("sig").alias("sig_a"))
+    sig_old = (spark.table(sigs_table)
+               .select(F.col(id_col).alias("old_id"),
+                       F.col("sig").alias("sig_b")))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+        lambda x: x))
+    return (cand.join(sig_new, "new_id").join(sig_old, "old_id")
+            .withColumn("est_jaccard",
+                        F.try_divide(matches.cast("double"),
+                                     F.lit(MINHASH_K)))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("new_id", "old_id", "est_jaccard"))
+
+
+def incremental_near_dup_filter(spark, new_docs: DataFrame,
+                                sigs_table: str, bands_table: str,
+                                threshold: float = 0.5,
+                                id_col: str = "doc_id",
+                                bands: int = LSH_BANDS) -> DataFrame:
+    """Day-N batch filter: drop new docs near-duplicating the
+    committed index, then prune near-dup clusters WITHIN the batch
+    (first-wins, via the exact-connected-components machinery). The
+    survivors are what commit_minhash_index(mode='append') should add
+    to the index for day N+1."""
+    vs_committed = incremental_minhash_pairs(
+        spark, new_docs, sigs_table, bands_table, threshold,
+        id_col, bands)
+    fresh = new_docs.join(
+        vs_committed.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col, "left_anti")
+    return near_dup_survivors(fresh, threshold, id_col=id_col,
+                              bands=bands)
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,

@@ -498,3 +498,60 @@ def test_ivfpq_adc_approximation_quality(spark):
     errs = [abs(allcos[(r["query_id"], r["neighbor_id"])] - r["sim"])
             for r in out]
     assert max(errs) < 0.2, max(errs)
+
+
+def test_incremental_minhash_two_run_flow(spark, tmp_path):
+    """Cross-run NEAR-dup dedup: day 2's batch is checked against day
+    1's committed MinHash index without recomputing day 1 — planted
+    near-dups of committed docs drop, in-batch near-dup clusters prune
+    to their head, fresh docs survive, and the survivors append into
+    the index for day 3."""
+    def block(tag, n=400):
+        return [f"{tag}{i}" for i in range(n)]
+
+    X, Y, Q, Z = (block(t) for t in "xyqz")
+
+    def perturb(toks):
+        out = list(toks)
+        out[0], out[-1] = "changed0", "changed1"
+        return out
+
+    day1 = spark.createDataFrame(
+        [(1, " ".join(X)), (2, " ".join(Y)), (3, " ".join(Q))],
+        "doc_id long, text string")
+    sigs_t, bands_t = "inc_sigs_t", "inc_bands_t"
+    try:
+        dedup.commit_minhash_index(day1, sigs_t, bands_t,
+                                   str(tmp_path / "idx"), n_buckets=4)
+
+        day2 = spark.createDataFrame(
+            [(11, " ".join(perturb(X))),   # near-dup of committed 1
+             (12, " ".join(Z)),            # fresh
+             (13, " ".join(X[2:] + X[:2])),  # rotated X — also ~1
+             (14, " ".join(perturb(Z)))],  # in-batch near-dup of 12
+            "doc_id long, text string")
+
+        pairs = dedup.incremental_minhash_pairs(
+            spark, day2, sigs_t, bands_t, threshold=0.5)
+        got = {(r["new_id"], r["old_id"]) for r in pairs.collect()}
+        assert (11, 1) in got and (13, 1) in got, got
+        assert not any(o in (2, 3) for _, o in got), got
+        assert not any(n in (12, 14) for n, _ in got), got
+
+        kept = dedup.incremental_near_dup_filter(
+            spark, day2, sigs_t, bands_t, threshold=0.5)
+        assert {r["doc_id"] for r in kept.collect()} == {12}
+
+        # day-3 cycle: append survivors, then a re-crawl of Z drops
+        dedup.commit_minhash_index(kept, sigs_t, bands_t,
+                                   str(tmp_path / "idx"), n_buckets=4,
+                                   mode="append")
+        day3 = spark.createDataFrame(
+            [(21, " ".join(perturb(Z))), (22, " ".join(block("w")))],
+            "doc_id long, text string")
+        kept3 = dedup.incremental_near_dup_filter(
+            spark, day3, sigs_t, bands_t, threshold=0.5)
+        assert {r["doc_id"] for r in kept3.collect()} == {22}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")

@@ -287,3 +287,47 @@ def test_ivfpq_persisted_index_prunes_at_scan_time(spark, tmp_path):
     got = sorted((r["query_id"], r["rnk"], r["neighbor_id"])
                  for r in out.collect())
     assert got == want
+
+
+def test_incremental_minhash_committed_side_bucket_aligned(spark,
+                                                           tmp_path):
+    """Cross-run near-dup search: BOTH committed index scans (band
+    table and signature table) must read bucket-aligned — the
+    10^12-row index never reshuffles for a daily batch; only the
+    batch side pays exchanges, and its signature exchange is shared
+    (ReusedExchange) so the MinHash UDF runs once per batch. Asserted
+    on the EXECUTED adaptive plan (exchange reuse only materializes at
+    runtime)."""
+    from luzzu_spark import dedup
+    docs = load_table(spark, SF, "documents")
+    sigs_t, bands_t = "plan_inc_sigs", "plan_inc_bands"
+    try:
+        dedup.commit_minhash_index(docs, sigs_t, bands_t,
+                                   str(tmp_path / "inc_idx"),
+                                   n_buckets=4)
+        new = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = dedup.incremental_minhash_pairs(spark, new, sigs_t,
+                                                 bands_t, threshold=0.5)
+            df.collect()  # AQE finalizes the plan at execution
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the adaptive plan string repeats each stage's subtree, so
+        # the two logical scans can print more than twice — every
+        # occurrence must be bucket-aligned
+        scans = [ln for ln in plan.splitlines()
+                 if "FileScan parquet" in ln
+                 and ("plan_inc_sigs" in ln or "plan_inc_bands" in ln)]
+        assert len(scans) >= 2, plan
+        assert any("plan_inc_sigs" in ln for ln in scans), plan
+        assert any("plan_inc_bands" in ln for ln in scans), plan
+        for ln in scans:
+            assert "Bucketed: true" in ln, ln
+        assert "ReusedExchange" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
