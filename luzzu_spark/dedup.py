@@ -422,17 +422,19 @@ def commit_minhash_index(docs: DataFrame, sigs_table: str,
       stage fetches committed signatures BY ID, also exchange-free.
 
     mode='append' commits a later run's surviving docs into the same
-    index, growing the seen-set run over run. Storage: (int, long)
-    band keys ×bands plus 32 longs per doc — the text never persists
-    here and never moves at search time."""
+    index, growing the seen-set run over run (the tables keep their
+    day-1 location — path_prefix is only read when creating). Storage:
+    (int, long) band keys ×bands plus 32 longs per doc — the text
+    never persists here and never moves at search time."""
     sigs = minhash_signatures(docs, id_col)
-    (band_rows(sigs, id_col, bands).write.mode(mode)
-     .option("path", f"{path_prefix}_bands")
-     .bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+    bw = band_rows(sigs, id_col, bands).write.mode(mode)
+    sw = sigs.write.mode(mode)
+    if mode != "append":
+        bw = bw.option("path", f"{path_prefix}_bands")
+        sw = sw.option("path", f"{path_prefix}_sigs")
+    (bw.bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
      .saveAsTable(bands_table))
-    (sigs.write.mode(mode)
-     .option("path", f"{path_prefix}_sigs")
-     .bucketBy(n_buckets, id_col).sortBy(id_col)
+    (sw.bucketBy(n_buckets, id_col).sortBy(id_col)
      .saveAsTable(sigs_table))
 
 

@@ -21,6 +21,12 @@ day 1 adds `--commit-bucket-table seen_corpus` (kept corpus lands as a
 url-bucketed catalog table); day 2 adds `--seen-table seen_corpus` and
 every already-committed url is anti-joined away BEFORE assessment,
 reading the committed side bucket-aligned with zero shuffle.
+
+Cross-run NEAR-dup dedup: pass the same `--neardup-index idx` every
+day. Day 1 creates the bucketed MinHash index tables (idx_sigs /
+idx_bands) from its kept corpus; later days drop documents
+near-duplicating committed content before assessment (the committed
+index never shuffles) and append their survivors' signatures.
 """
 
 from __future__ import annotations
@@ -73,6 +79,21 @@ def build_args() -> argparse.Namespace:
                    help="storage path for --commit-bucket-table "
                         "(default <output>/corpus_bucketed)")
     p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument("--neardup-index", default=None,
+                   help="table-name prefix of the cross-run MinHash "
+                        "index (<prefix>_sigs / <prefix>_bands). "
+                        "Self-maintaining: when the tables exist, "
+                        "incoming docs near-duplicating committed "
+                        "content are dropped BEFORE assessment "
+                        "(bucket-aligned, the committed index never "
+                        "shuffles) and in-batch near-dup clusters "
+                        "prune to their head; after the run, the kept "
+                        "docs' signatures append into the index "
+                        "(created on the first run)")
+    p.add_argument("--neardup-path", default=None,
+                   help="storage path prefix for --neardup-index "
+                        "(default <output>/neardup_index)")
+    p.add_argument("--neardup-threshold", type=float, default=0.5)
     p.add_argument("--json", action="store_true",
                    help="print one machine-readable JSON line at the end")
     p.add_argument("--bench", action="store_true",
@@ -109,6 +130,17 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     seen = spark.table(args.seen_table) if args.seen_table else None
 
+    # getattr: older callers build Namespaces without the near-dup
+    # flags; absent means disabled
+    nd_prefix = getattr(args, "neardup_index", None)
+    nd_sigs = nd_bands = None
+    nd_exists = False
+    if nd_prefix:
+        nd_sigs = f"{nd_prefix}_sigs"
+        nd_bands = f"{nd_prefix}_bands"
+        nd_exists = (spark.catalog.tableExists(nd_sigs)
+                     and spark.catalog.tableExists(nd_bands))
+
     # prepare runs the expensive plugin-UDF assessment ONCE per batch
     # (ResumableRun persists it); both sinks derive from that frame —
     # the round-1 version re-assessed in metrics_fn (ADVICE r1)
@@ -123,6 +155,15 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
             pages = seen_anti_join(pages, seen)
             LAST_SEEN_PLAN = (pages._jdf.queryExecution()
                               .executedPlan().toString())
+        if nd_exists:
+            # cross-run NEAR-dup dedup: docs near-duplicating the
+            # committed MinHash index drop before the UDF stage, and
+            # in-batch clusters prune to their head; both committed
+            # index scans read bucket-aligned (tests/test_plans.py)
+            from luzzu_spark.dedup import incremental_near_dup_filter
+            pages = incremental_near_dup_filter(
+                spark, pages, nd_sigs, nd_bands,
+                threshold=getattr(args, "neardup_threshold", 0.5))
         return pipe.assess(pages)
 
     def transform(assessed):
@@ -180,6 +221,18 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
          .bucketBy(args.n_buckets, "url").sortBy("url")
          .saveAsTable(args.commit_bucket_table))
         result["bucket_table"] = args.commit_bucket_table
+    if nd_prefix:
+        if args.repeat != 1:
+            raise ValueError("--neardup-index requires --repeat 1")
+        from luzzu_spark.dedup import commit_minhash_index
+        nd_path = getattr(args, "neardup_path", None) or os.path.join(
+            args.output, "neardup_index")
+        kept = spark.read.parquet(ResumableRun.output_glob(args.output))
+        commit_minhash_index(kept, nd_sigs, nd_bands, nd_path,
+                             n_buckets=args.n_buckets,
+                             mode="append" if nd_exists else "overwrite")
+        result["neardup_index"] = nd_prefix
+        result["neardup_mode"] = "append" if nd_exists else "create"
     return result
 
 

@@ -281,3 +281,66 @@ def test_resumable_run_over_jsonl(spark, tmp_path):
     want = pipe.filtered(as_webpages(docs, inject_pii=True))
     assert {r.url for r in got.select("url").collect()} == \
            {r.url for r in want.select("url").collect()}
+
+
+def test_run_filter_cli_neardup_index_flow(spark, tmp_path):
+    """The production entry point wires cross-run NEAR-dup dedup with
+    one self-maintaining flag: day 1 (--neardup-index) creates the
+    bucketed MinHash index from its kept corpus; day 2's run drops a
+    planted near-dup of committed content BEFORE assessment, keeps
+    fresh docs, and appends its survivors into the index."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1_in = str(tmp_path / "nd1_in")
+    day2_in = str(tmp_path / "nd2_in")
+    docs.where("doc_id < 30").repartition(2) \
+        .write.mode("overwrite").parquet(day1_in)
+
+    # day 2: 10 fresh docs + a near-dup of day-1 doc 0 (same text with
+    # the first word changed; J >> 0.5 on 400+-char fixture docs)
+    base0 = docs.where("doc_id = 0").collect()[0]
+    twin_text = "changed " + base0["text"].split(" ", 1)[1]
+    fresh = docs.where("doc_id >= 30 AND doc_id < 40")
+    twin = spark.createDataFrame(
+        [(900, twin_text, base0["lang"], base0["source"],
+          len(twin_text))], docs.schema)
+    fresh.unionByName(twin).repartition(2) \
+        .write.mode("overwrite").parquet(day2_in)
+
+    def mkargs(**kw):
+        base = dict(input=None, output=None, master=None, batch_size=2,
+                    repeat=1, as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False, neardup_index="cli_nd_idx",
+                    neardup_path=None, neardup_threshold=0.5)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    try:
+        r1 = rf.run_job(spark, mkargs(
+            input=day1_in, output=str(tmp_path / "nd1_out")))
+        assert r1["complete"] and r1["neardup_mode"] == "create"
+        n_day1 = spark.table("cli_nd_idx_sigs").count()
+        assert n_day1 > 0
+
+        r2 = rf.run_job(spark, mkargs(
+            input=day2_in, output=str(tmp_path / "nd2_out")))
+        assert r2["complete"] and r2["neardup_mode"] == "append"
+
+        out2 = spark.read.parquet(
+            ResumableRun.output_glob(str(tmp_path / "nd2_out")))
+        ids2 = {r.doc_id for r in out2.select("doc_id").collect()}
+        assert 900 not in ids2, "near-dup of committed content kept"
+        assert ids2 & set(range(30, 40)), "fresh docs all dropped"
+        # survivors appended for day 3
+        assert spark.table("cli_nd_idx_sigs").count() \
+            == n_day1 + len(ids2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_nd_idx_sigs")
+        spark.sql("DROP TABLE IF EXISTS cli_nd_idx_bands")
