@@ -145,3 +145,52 @@ def test_top_ngram_coverage_planted(spark, ngram_dir):
     fr2 = got[("fr", 2)]
     assert (fr2["n_docs"], fr2["n_flagged"]) == (1, 1)
     assert fr2["micro_coverage"] == 1.0
+
+
+def test_pack_token_sequences_matches_python_packer():
+    """Property check (no JVM): the pack_token_sequences oracle SQL
+    over random corpora must equal a direct python packer — n_seqs,
+    straddler, and fill math validated independently of both engines.
+    The Spark↔DuckDB twin is covered by the parity suites; this pins
+    the SEMANTICS."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from luzzu_spark.queries_web import PACK_BUDGET
+
+    rng = random.Random(11)
+    rows = []
+    did = 0
+    for s in range(4):
+        for _ in range(rng.randint(1, 30)):
+            n = rng.choice([0, 1, 5, 255, 256, 257, 300])
+            rows.append((did, " ".join("w" * 1 for _ in range(n)),
+                         "en", f"s{s}", 2 * n))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "source", "n_chars"])
+
+    # python reference: contiguous fill in doc_id order per source
+    want = {}
+    for src, grp in pdf.groupby("source"):
+        cum, straddle, total = 0, 0, 0
+        for t in grp.sort_values("doc_id")["text"]:
+            n = len([w for w in t.split(" ") if w])
+            if n > 0 and (cum + n - 1) // PACK_BUDGET > cum // PACK_BUDGET:
+                straddle += 1
+            cum += n
+            total += n
+        n_seqs = (total + PACK_BUDGET - 1) // PACK_BUDGET
+        fill = 0.0 if total == 0 else round(
+            total / (n_seqs * PACK_BUDGET), 6)
+        want[src] = (len(grp), total, n_seqs, straddle, fill)
+
+    con = duckdb.connect()
+    con.register("docs_pdf", pdf)
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_pdf")
+    got = {r[0]: tuple(r[1:]) for r in con.execute(
+        entrymod.oracle_sql()["pack_token_sequences"]).fetchall()}
+    assert got == want
