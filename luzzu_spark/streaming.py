@@ -242,6 +242,56 @@ def write_stream_filtered(pages: DataFrame, out_path: str,
             .start())
 
 
+def write_stream_filtered_neardup(pages: DataFrame, out_path: str,
+                                  checkpoint: str, index_prefix: str,
+                                  index_path: str,
+                                  threshold: float = 0.5,
+                                  pipeline: QualityPipeline | None = None,
+                                  n_buckets: int = 4):
+    """write_stream_filtered + a self-maintaining cross-epoch near-dup
+    index (the streaming twin of run_filter.py --neardup-index): each
+    micro-batch drops documents near-duplicating content KEPT by any
+    earlier epoch (bucket-aligned joins against the committed MinHash
+    index — the index never shuffles), prunes in-batch clusters, runs
+    the full pipeline, writes epoch-idempotently, and appends its kept
+    docs' signatures for the next epoch.
+
+    Delivery semantics: the corpus write is idempotent per epoch
+    (dynamic partition overwrite). The index append is NOT — a
+    replayed epoch re-appends its signature rows — but duplicated
+    index rows are EFFECT-idempotent for dedup: they can only
+    duplicate candidate-pair rows, never change which new_ids match,
+    so keep/drop decisions are unaffected (a compaction pass can
+    de-duplicate the index offline)."""
+    import dataclasses
+
+    from luzzu_spark.dedup import (commit_minhash_index,
+                                   incremental_near_dup_filter)
+    pipe = (dataclasses.replace(pipeline, auto_spread=False)
+            if pipeline is not None
+            else QualityPipeline(auto_spread=False))
+    sigs_t = f"{index_prefix}_sigs"
+    bands_t = f"{index_prefix}_bands"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = (spark.catalog.tableExists(sigs_t)
+                  and spark.catalog.tableExists(bands_t))
+        if exists:
+            batch_df = incremental_near_dup_filter(
+                spark, batch_df, sigs_t, bands_t, threshold=threshold)
+        kept = pipe.filtered(batch_df)
+        write_epoch_idempotent(kept, out_path, epoch_id)
+        commit_minhash_index(kept, sigs_t, bands_t, index_path,
+                             n_buckets=n_buckets,
+                             mode="append" if exists else "overwrite")
+
+    return (pages.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_to_memory(df: DataFrame, query_name: str,
                   output_mode: str = "append") -> "object":
     """Drain a stream into an in-memory table (tests/demos): returns the

@@ -266,3 +266,57 @@ def test_epoch_replay_is_idempotent(spark, page_dir, tmp_path_factory):
     assert after.where("epoch = 0").count() == n0
     assert after.count() > n0
     assert after.select("url").distinct().count() == after.count()
+
+
+def test_stream_neardup_index_across_epochs(spark, tmp_path_factory):
+    """Streaming near-dup twin of the CLI --neardup-index flow: epoch 1
+    seeds the index with its kept docs; epoch 2 drops a planted
+    near-dup of epoch-1 content before the pipeline and keeps fresh
+    docs; the index ends holding both epochs' survivors."""
+    import time as _time
+
+    base = tmp_path_factory.mktemp("ndstream")
+    page_dir = str(base / "pages")
+    docs = load_table(spark, SF, "documents")
+
+    epoch1_docs = docs.where("doc_id < 10")
+    pages1 = as_webpages(epoch1_docs)
+    kept1 = QualityPipeline(auto_spread=False).filtered(pages1)
+    seed = sorted(r["doc_id"] for r in kept1.select("doc_id").collect())
+    assert seed, "need at least one kept doc to seed the index"
+    base_row = epoch1_docs.where(f"doc_id = {seed[0]}").collect()[0]
+
+    pages1.coalesce(1).write.mode("append").parquet(page_dir)
+    _time.sleep(1.2)  # file-source processes oldest mtime first
+
+    twin_text = "changed " + base_row["text"].split(" ", 1)[1]
+    twin = spark.createDataFrame(
+        [(900, twin_text, base_row["lang"], base_row["source"],
+          len(twin_text))], docs.schema)
+    epoch2_docs = docs.where("doc_id >= 10 AND doc_id < 15") \
+        .unionByName(twin)
+    as_webpages(epoch2_docs).coalesce(1).write.mode("append") \
+        .parquet(page_dir)
+
+    sink = str(base / "corpus")
+    ckpt = str(base / "ckpt")
+    try:
+        stream = streaming.read_page_stream(
+            spark, page_dir, as_webpages(docs).schema,
+            max_files_per_trigger=1)
+        _drain(streaming.write_stream_filtered_neardup(
+            stream, sink, ckpt, "nd_stream_idx", str(base / "idx")))
+
+        out_ids = {r["doc_id"] for r in spark.read.parquet(sink)
+                   .select("doc_id").collect()}
+        assert 900 not in out_ids, "cross-epoch near-dup kept"
+        assert set(seed) <= out_ids, "epoch-1 kept docs missing"
+        fresh_kept = out_ids & set(range(10, 15))
+        assert fresh_kept, "every fresh epoch-2 doc vanished"
+        # index holds both epochs' survivors
+        idx_ids = {r["doc_id"] for r in spark.table("nd_stream_idx_sigs")
+                   .select("doc_id").collect()}
+        assert idx_ids == out_ids, (idx_ids, out_ids)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nd_stream_idx_sigs")
+        spark.sql("DROP TABLE IF EXISTS nd_stream_idx_bands")
