@@ -560,3 +560,35 @@ def near_dup_survivors(docs: DataFrame, threshold: float = 0.5,
     losers = (members.where(F.col(id_col) != F.col("cluster"))
               .select(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def benchmark_decontaminate(docs: DataFrame, bench_docs: DataFrame,
+                            n: int = 13, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Drop every training candidate sharing ANY n-gram with the
+    benchmark/eval set — the n-gram-overlap decontamination standard
+    for LLM corpora (the doc-level filter behind the
+    docs_benchmark_contamination catalog query).
+
+    Scale shape: the benchmark's distinct gram DIGESTS broadcast (each
+    gram md5-hashed INSIDE the transform — fixed-width keys, the gram
+    string never materializes as a row); candidates explode digests
+    and left-semi join locally, so the corpus never shuffles; the
+    final anti-join removes flagged ids."""
+    def digests(df, keys):
+        toks = F.filter(F.split(F.trim(F.col(text_col)), " "),
+                        lambda x: x != "")
+        t = df.select(*keys, toks.alias("toks"))
+        g = F.when(
+            F.size("toks") >= n,
+            F.expr(f"transform(sequence(1, size(toks) - {n - 1}),"
+                   f" i -> md5(array_join(slice(toks, i, {n}), ' ')))")
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        return t.select(*keys, F.explode(g).alias("gh"))
+
+    # the bench side only contributes digests — no id column required
+    bench_g = F.broadcast(digests(bench_docs, []).distinct())
+    contaminated = (digests(docs, [F.col(id_col)])
+                    .join(bench_g, "gh", "left_semi")
+                    .select(id_col).distinct())
+    return docs.join(contaminated, id_col, "left_anti")

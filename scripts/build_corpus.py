@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""One-command training-corpus builder — the end-to-end composition of
+the library's stages into the pipeline an LLM data team actually runs:
+
+    spark-submit --py-files dist/luzzu_spark.zip scripts/build_corpus.py \
+        --input /data/webpages --output /data/corpus \
+        [--bench-input /data/eval_docs] [--sample-rate 0.5] \
+        [--neardup-threshold 0.5] [--pack-budget 2048] [--format json]
+
+Stages (each one a library primitive, all deterministic — two runs on
+the same input produce byte-identical corpora):
+
+1. quality filter  — QualityPipeline (langid/perplexity/heuristics/
+                     scrub); drops low-quality docs, scrubs PII.
+2. exact dedup     — first-wins on content hash (dedup.exact_dedup).
+3. near-dup dedup  — MinHash+LSH candidates → exact connected
+                     components, lowest-id survivor per cluster.
+4. decontaminate   — drop docs sharing any 13-gram with the benchmark
+                     set (dedup.benchmark_decontaminate), if given.
+5. hash-sample     — reshard-invariant content-hash sampling at
+                     --sample-rate (the exact dyadic md5 uniform; same
+                     doc → same split on any cluster, forever).
+6. pack            — contiguous token-budget packing: every doc gets a
+                     seq_id = <source>#<bin> so a training loader can
+                     group documents into fixed-budget sequences.
+7. sink            — parquet (default) or JSON-lines.
+
+Prints one JSON line with per-stage row counts (the corpus-hygiene
+funnel) — the numbers a data team reports next to every corpus drop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--as-webpages", action="store_true")
+    p.add_argument("--inject-pii", action="store_true")
+    p.add_argument("--bench-input", default=None,
+                   help="parquet of benchmark/eval docs (needs a text "
+                        "column); training docs sharing any 13-gram "
+                        "are dropped")
+    p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--sample-rate", type=float, default=1.0,
+                   help="content-hash sampling fraction in [0,1]")
+    p.add_argument("--pack-budget", type=int, default=2048,
+                   help="tokens per training sequence (0 disables "
+                        "seq_id assignment)")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json"])
+    p.add_argument("--json", action="store_true")
+    return p.parse_args()
+
+
+def stable_uniform(text_col: str = "text") -> F.Column:
+    """Exact dyadic uniform in [0,1) from six md5 hex digits — the
+    reshard-invariant sampling coin (same discipline as the
+    sample_stable_hash / sample_quality_mix catalog queries)."""
+    m = F.md5(text_col)
+    return (sum((F.instr(F.lit("0123456789abcdef"),
+                         F.substring(m, i + 1, 1)) - 1) * (16 ** i)
+                for i in range(6)).cast("double") / F.lit(16777216.0))
+
+
+def assign_seq_ids(docs: DataFrame, budget: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """seq_id = <source>#<bin> via contiguous token-budget packing in
+    deterministic doc_id order per source (the pack_token_sequences
+    semantics, materialized per doc). One shuffle on the pack unit;
+    only (doc_id, n_toks) enters the window."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    t = docs.withColumn("n_toks",
+                        F.size(tokens_expr("text")).cast("long"))
+    w = (Window.partitionBy("source").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (t.withColumn("cum_before",
+                         F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+            .withColumn("seq_id",
+                        F.concat_ws("#", "source",
+                                    F.expr(f"cum_before DIV {budget}")))
+            .drop("cum_before"))
+
+
+def build(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from luzzu_spark import dedup
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_corpus, sniff_format
+
+    funnel: dict = {}
+    pages = read_corpus(spark, args.input,
+                        fmt=sniff_format(args.input))
+    if args.as_webpages or "url" not in pages.columns:
+        pages = as_webpages(pages, inject_pii=args.inject_pii)
+    funnel["input"] = pages.count()
+
+    kept = QualityPipeline().filtered(pages)
+    funnel["quality_kept"] = kept.count()
+
+    kept = dedup.exact_dedup(kept)
+    funnel["after_exact_dedup"] = kept.count()
+
+    kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
+    funnel["after_near_dedup"] = kept.count()
+
+    if args.bench_input:
+        bench = spark.read.parquet(args.bench_input)
+        kept = dedup.benchmark_decontaminate(kept, bench)
+        funnel["after_decontamination"] = kept.count()
+
+    if args.sample_rate < 1.0:
+        kept = kept.where(stable_uniform() < F.lit(args.sample_rate))
+        funnel["after_sampling"] = kept.count()
+
+    if args.pack_budget > 0:
+        kept = assign_seq_ids(kept, args.pack_budget)
+        funnel["n_sequences"] = kept.select("seq_id").distinct().count()
+
+    writer = kept.write.mode("overwrite")
+    if args.format == "json":
+        binary_cols = [f.name for f in kept.schema.fields
+                       if f.dataType.simpleString() == "binary"]
+        writer = kept.drop(*binary_cols).write.mode("overwrite")
+    writer.format(args.format).save(args.output)
+    funnel["written"] = spark.read.format(args.format) \
+        .load(args.output).count()
+    return funnel
+
+
+def main() -> None:
+    args = build_args()
+    from luzzu_spark.session import DEFAULT_CONFS
+    builder = SparkSession.builder.appName("luzzu_spark_build_corpus")
+    if args.master:
+        builder = builder.master(args.master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    funnel = build(spark, args)
+    if args.json:
+        print(json.dumps(funnel))
+    else:
+        for k, v in funnel.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

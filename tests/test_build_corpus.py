@@ -1,0 +1,108 @@
+"""End-to-end training-corpus builder (scripts/build_corpus.py):
+filter → exact dedup → near dedup → decontaminate → hash-sample →
+pack → sink, with planted inputs exercising every stage and a
+determinism check over the whole composition."""
+
+from __future__ import annotations
+
+import argparse
+
+import pytest
+from pyspark.sql import functions as F
+
+import scripts.build_corpus as bc
+from luzzu_spark.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mkargs(**kw):
+    base = dict(input=None, output=None, master=None, as_webpages=True,
+                inject_pii=False, bench_input=None,
+                neardup_threshold=0.5, sample_rate=1.0,
+                pack_budget=256, format="parquet", json=False)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def planted_input(spark, tmp_path_factory):
+    """Fixture docs + planted: an exact duplicate of doc 1, a near-dup
+    of doc 2, and a doc contaminated with the benchmark text."""
+    base = tmp_path_factory.mktemp("bcin")
+    docs = load_table(spark, SF, "documents").where("doc_id < 60")
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    bench_text = " ".join(f"bench{i}" for i in range(30))
+    planted = spark.createDataFrame(
+        [(1001, rows[1]["text"], rows[1]["lang"], rows[1]["source"],
+          rows[1]["n_chars"]),                        # exact dup of 1
+         (1002, "changed " + rows[2]["text"].split(" ", 1)[1],
+          rows[2]["lang"], rows[2]["source"], rows[2]["n_chars"]),
+         (1003, rows[3]["text"] + " " + bench_text,
+          rows[3]["lang"], rows[3]["source"],
+          rows[3]["n_chars"] + len(bench_text) + 1)], docs.schema)
+    inp = str(base / "docs")
+    docs.unionByName(planted).repartition(4) \
+        .write.mode("overwrite").parquet(inp)
+    bench = str(base / "bench")
+    spark.createDataFrame([(0, bench_text)], "bid long, text string") \
+        .write.mode("overwrite").parquet(bench)
+    return inp, bench
+
+
+def test_full_funnel_drops_each_planted_class(spark, planted_input,
+                                              tmp_path):
+    inp, bench = planted_input
+    out = str(tmp_path / "corpus")
+    funnel = bc.build(spark, _mkargs(input=inp, output=out,
+                                     bench_input=bench))
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    assert 1001 not in ids, "exact duplicate survived"
+    assert 1002 not in ids, "near duplicate survived"
+    assert 1003 not in ids, "contaminated doc survived"
+    assert funnel["quality_kept"] >= funnel["after_exact_dedup"] \
+        >= funnel["after_near_dedup"] >= funnel["after_decontamination"]
+    assert funnel["written"] == len(ids)
+
+    # packing: every doc carries seq_id = source#bin; bins fill
+    # contiguously so bin indices per source are dense from 0
+    seqs = got.select("source", "seq_id").distinct().collect()
+    by_src: dict = {}
+    for r in seqs:
+        src, b = r["seq_id"].split("#")
+        assert src == r["source"]
+        by_src.setdefault(src, set()).add(int(b))
+    for src, bins in by_src.items():
+        assert bins == set(range(len(bins))), (src, bins)
+
+
+def test_sampling_and_determinism(spark, planted_input, tmp_path):
+    """--sample-rate keeps a stable strict subset; the whole funnel is
+    deterministic (two runs → identical corpus digests)."""
+    inp, _ = planted_input
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    outs = str(tmp_path / "cs")
+    full = bc.build(spark, _mkargs(input=inp, output=out1))
+    bc.build(spark, _mkargs(input=inp, output=out2))
+
+    def digest(path):
+        return (spark.read.parquet(path)
+                .select(F.sum(F.conv(F.substring(F.md5(F.concat_ws(
+                    "|", "url", "text", "seq_id")),
+                    1, 10), 16, 10).cast("long")).alias("d"))
+                .collect()[0]["d"])
+
+    assert digest(out1) == digest(out2)
+
+    sampled = bc.build(spark, _mkargs(input=inp, output=outs,
+                                      sample_rate=0.5))
+    full_ids = {r["doc_id"] for r in spark.read.parquet(out1)
+                .select("doc_id").collect()}
+    samp_ids = {r["doc_id"] for r in spark.read.parquet(outs)
+                .select("doc_id").collect()}
+    assert samp_ids < full_ids
+    assert 0 < len(samp_ids) < len(full_ids)
+    assert sampled["after_sampling"] == len(samp_ids)
