@@ -907,3 +907,98 @@ def dsir_importance_weights(spark: SparkSession,
                          / F.sum("n_bigrams"), 6)
                  .alias("mean_bucket_weight"))
             .orderBy("lang"))
+
+
+_DUPLINE_PAGE_SQL = """
+  text
+  || CASE WHEN doc_id % 6 = 0
+       THEN repeat(chr(10) || 'subscribe now', 3) ELSE '' END
+  || CASE WHEN doc_id % 15 = 0 THEN chr(10) || text ELSE '' END
+"""
+
+
+def dupline_page_expr() -> F.Column:
+    """Deterministic within-doc line repetition: docs with doc_id % 6
+    == 0 gain the same short footer line 3× (fires the 30% dup-LINE
+    rule but not the char rule); doc_id % 15 == 0 duplicates the whole
+    body line (fires the 20% dup-CHAR rule). Mirrored by
+    _DUPLINE_PAGE_SQL."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 6 == 0,
+               F.expr("repeat(chr(10) || 'subscribe now', 3)"))
+        .otherwise(F.lit("")),
+        F.when(d % 15 == 0,
+               F.concat(F.expr("chr(10)"), F.col("text")))
+        .otherwise(F.lit("")))
+
+
+@register("text_dup_line_fraction", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_DUPLINE_PAGE_SQL} AS page FROM documents),
+lines AS (
+  SELECT doc_id, lang, md5(unnest(string_split(page, chr(10)))) AS lh,
+         length(unnest(string_split(page, chr(10)))) AS ll
+  FROM pages),
+cnt AS (
+  SELECT doc_id, lang, lh, ll, COUNT(*) AS c
+  FROM lines GROUP BY doc_id, lang, lh, ll),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+         CAST(SUM(c * ll) AS BIGINT) AS total_lc,
+         CAST(SUM((c - 1) * ll) AS BIGINT) AS dup_lc
+  FROM cnt GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_lines * 10 > 3 * n_lines
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_lines,
+       CAST(SUM(CASE WHEN dup_lc * 5 > total_lc
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_chars,
+       CAST(ROUND(CAST(SUM(dup_lines) AS DOUBLE) / SUM(n_lines), 6)
+            AS DOUBLE) AS micro_dup_line_frac,
+       CAST(ROUND(CAST(SUM(dup_lc) AS DOUBLE) / SUM(total_lc), 6)
+            AS DOUBLE) AS micro_dup_char_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_dup_line_fraction(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition rules: flag docs whose
+    duplicate-LINE fraction exceeds 30% (instances beyond each line's
+    first) or whose duplicate-line CHAR fraction exceeds 20% — both as
+    exact integer cross-multiplications; micro fractions are ratios of
+    exact BIGINT sums rounded once (rule-12 discipline).
+
+    Scale: explode lines → hash-agg on (doc_id, md5(line)) — line text
+    reduces to a fixed-width digest before the shuffle (TEXT-KEY
+    discipline); the per-doc fold runs over distinct-line counts."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang", dupline_page_expr().alias("page")))
+    lines = pages.select(
+        "doc_id", "lang",
+        F.explode(F.split("page", "\n")).alias("line"))
+    cnt = (lines.select("doc_id", "lang", F.md5("line").alias("lh"),
+                        F.length("line").alias("ll"))
+           .groupBy("doc_id", "lang", "lh", "ll")
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (cnt.groupBy("doc_id", "lang")
+               .agg(F.sum("c").alias("n_lines"),
+                    F.sum(F.col("c") - 1).alias("dup_lines"),
+                    F.sum(F.col("c") * F.col("ll")).alias("total_lc"),
+                    F.sum((F.col("c") - 1) * F.col("ll"))
+                    .alias("dup_lc")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("dup_lines") * 10 > 3 * F.col("n_lines"))
+                       .cast("long")).alias("n_flag_dup_lines"),
+                 F.sum((F.col("dup_lc") * 5 > F.col("total_lc"))
+                       .cast("long")).alias("n_flag_dup_chars"),
+                 F.round(F.sum("dup_lines").cast("double")
+                         / F.sum("n_lines"), 6)
+                 .alias("micro_dup_line_frac"),
+                 F.round(F.sum("dup_lc").cast("double")
+                         / F.sum("total_lc"), 6)
+                 .alias("micro_dup_char_frac"))
+            .orderBy("lang"))
