@@ -13,18 +13,23 @@ Search", TPAMI 2011):
 * **Train driver-side on the bounded hash-sample** (reuses
   ivf.sample_training_matrix — max_train vectors, ONE job, no corpus
   collect). Two models come out of the same sample: the IVF coarse
-  centroids (Voronoi cells) and, per subspace j of the unit-normalized
-  vector, a k-means codebook of ≤ 2^nbits codewords.
-* **Encode where the vectors live.** A Series→Series pandas UDF maps
-  each vector to its m nearest-codeword ids packed as a BinaryType of
-  m bytes — one numpy argmin per subspace per Arrow batch. The index
-  frame carries (vec_id, list_id, code) ONLY; the float vector column
+  centroids (Voronoi cells) and, per subspace j, a k-means codebook of
+  ≤ 2^nbits codewords over the RESIDUAL x − centroid[cell(x)] of the
+  unit-normalized vector — the FAISS IVFPQ split; residuals span a far
+  smaller ball than raw vectors, so the same codeword budget buys much
+  lower distortion.
+* **Encode where the vectors live.** ONE Series→Struct pandas UDF per
+  vector batch fuses cell assignment and residual quantization: assign
+  the coarse cell (one matmul), subtract its centroid, quantize each
+  residual subvector (one matmul/argmin per subspace). The index frame
+  carries (vec_id, list_id, m-byte code) ONLY; the float vector column
   is dropped before anything shuffles.
 * **Search = probe + ADC + optional refine.** Queries explode to
   their nprobe cells and broadcast (ivf._probed_queries); candidates
-  in probed cells score by asymmetric distance computation — the
-  query stays a float vector, the candidate is looked up codeword-by-
-  codeword (one fancy-index gather + einsum per Arrow batch). With
+  in probed cells score by asymmetric distance computation — approx
+  cosine = q·centroid[list] + q·decode(residual code); the query stays
+  a float vector, the candidate is its cell centroid plus a codeword
+  gather (two fancy-index gathers + einsums per Arrow batch). With
   refine > 0 the top k*refine ADC candidates join back to the
   embeddings table BY ID (a small equi-join, never a corpus scan) and
   re-rank by exact cosine, so reported sims are true cosines.
@@ -91,67 +96,91 @@ def _kmeans_1d(X: np.ndarray, k: int, iters: int,
     return C
 
 
-def train_pq_codebooks(train: np.ndarray, m: int = PQ_M,
-                       nbits: int = PQ_NBITS,
+def _assign_rows(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Coarse cell per unit row: argmax cosine == argmax dot."""
+    return (X @ C.T).argmax(axis=1)
+
+
+def train_pq_codebooks(train: np.ndarray, centroids: np.ndarray,
+                       m: int = PQ_M, nbits: int = PQ_NBITS,
                        iters: int = PQ_KMEANS_ITERS) -> np.ndarray:
-    """Per-subspace codebooks over UNIT-normalized training vectors.
+    """Per-subspace codebooks over RESIDUALS of unit-normalized
+    training vectors against their coarse centroid (the FAISS IVFPQ
+    split: residuals are far smaller than raw vectors, so the same
+    codeword budget buys much lower distortion).
 
     Returns (m, k, dsub) with k = min(2^nbits, n_train); dim must be
-    divisible by m. Unit-normalizing first makes the later ADC inner
-    product an approximation of cosine."""
+    divisible by m."""
     X = _unit_rows(np.ascontiguousarray(train, dtype=np.float64))
     n, dim = X.shape
     if n == 0:
         raise ValueError("empty training sample")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    R = X - centroids[_assign_rows(X, centroids)]
     dsub = dim // m
     k = min(1 << nbits, n)
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):
-        books[j] = _kmeans_1d(X[:, j * dsub:(j + 1) * dsub], k, iters,
+        books[j] = _kmeans_1d(R[:, j * dsub:(j + 1) * dsub], k, iters,
                               seed_salt=j + 1)
     return books
 
 
-def _encode_udf(codebooks: np.ndarray):
-    """vector → m-byte PQ code (BinaryType): per subspace, the id of
-    the nearest codeword of the unit-normalized vector. One matmul +
-    argmin per subspace per Arrow batch."""
+def _assign_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """vector → (list_id, m-byte residual PQ code) in ONE Arrow pass:
+    assign the coarse cell, subtract its centroid, quantize each
+    residual subvector to its nearest codeword. One matmul for the
+    assignment + one matmul/argmin per subspace per batch."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
     B = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, _, dsub = B.shape
 
-    @pandas_udf(BinaryType())
-    def f(v: pd.Series) -> pd.Series:
+    @pandas_udf(StructType([StructField("list_id", IntegerType()),
+                            StructField("code", BinaryType())]))
+    def f(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
-            return pd.Series([], dtype=object)
-        V = _unit_rows(_mat(v)).reshape(len(v), m, dsub)
+            return pd.DataFrame({"list_id": pd.Series([], dtype=np.int32),
+                                 "code": pd.Series([], dtype=object)})
+        V = _unit_rows(_mat(v))
+        assign = _assign_rows(V, C)
+        R = (V - C[assign]).reshape(len(v), m, dsub)
         codes = np.empty((len(v), m), dtype=np.uint8)
         for j in range(m):
-            d = (-2.0 * (V[:, j, :] @ B[j].T)
+            d = (-2.0 * (R[:, j, :] @ B[j].T)
                  + (B[j] * B[j]).sum(axis=1)[None, :])
             codes[:, j] = d.argmin(axis=1).astype(np.uint8)
-        return pd.Series([row.tobytes() for row in codes])
+        return pd.DataFrame({
+            "list_id": assign.astype(np.int32),
+            "code": [row.tobytes() for row in codes]})
     return f.asNondeterministic()
 
 
-def _adc_udf(codebooks: np.ndarray):
-    """Asymmetric distance: approx cosine(q, decode(code)) — the query
-    stays float, the candidate is a codeword gather. Vectorized per
-    Arrow batch: one reshape, one fancy-index, one einsum."""
+def _adc_udf(codebooks: np.ndarray, centroids: np.ndarray):
+    """Asymmetric distance with residual decoding: approx cosine =
+    q·centroid[list] + Σ_j q_sub·codeword_j — the query stays float,
+    the candidate is its cell centroid plus a codeword gather.
+    Vectorized per Arrow batch: two fancy-index gathers + two
+    einsums."""
     Bk = np.ascontiguousarray(codebooks, dtype=np.float64)
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
     m, _, dsub = Bk.shape
 
     @pandas_udf(DoubleType())
-    def f(qv: pd.Series, code: pd.Series) -> pd.Series:
+    def f(qv: pd.Series, code: pd.Series,
+          list_id: pd.Series) -> pd.Series:
         n = len(qv)
         if n == 0:
             return pd.Series([], dtype=np.float64)
-        Q = _unit_rows(_mat(qv)).reshape(n, m, dsub)
+        Q = _unit_rows(_mat(qv))
+        lid = list_id.to_numpy(dtype=np.int64)
+        coarse = np.einsum("nd,nd->n", Q, C[lid])
         codes = np.frombuffer(b"".join(code.tolist()),
                               dtype=np.uint8).reshape(n, m)
         CW = Bk[np.arange(m)[None, :], codes]          # (n, m, dsub)
-        return pd.Series(np.einsum("nmd,nmd->n", Q, CW))
+        fine = np.einsum("nmd,nmd->n", Q.reshape(n, m, dsub), CW)
+        return pd.Series(coarse + fine)
     return f.asNondeterministic()
 
 
@@ -164,8 +193,9 @@ def train_ivfpq(embeddings: DataFrame, n_lists: int = N_LISTS,
     (m, k, dsub)) — kilobytes, broadcast by UDF capture."""
     train = sample_training_matrix(embeddings, id_col=id_col,
                                    vec_col=vec_col)
-    return train_centroids(train, n_lists), train_pq_codebooks(
-        train, m=m, nbits=nbits)
+    centroids = train_centroids(train, n_lists)
+    return centroids, train_pq_codebooks(train, centroids,
+                                         m=m, nbits=nbits)
 
 
 def build_pq_index(embeddings: DataFrame, centroids: np.ndarray,
@@ -177,11 +207,10 @@ def build_pq_index(embeddings: DataFrame, centroids: np.ndarray,
     sink: what persists/moves per corpus vector is one int + m bytes.
     Persist partitioned by list_id (ivf.persist_index) for scan-time
     cell pruning at production scale."""
-    from luzzu_spark.ivf import _assign_udf
-    return embeddings.select(
-        F.col(id_col),
-        _assign_udf(centroids)(F.col(vec_col)).alias("list_id"),
-        _encode_udf(codebooks)(F.col(vec_col)).alias("code"))
+    s = _assign_encode_udf(centroids, codebooks)(F.col(vec_col))
+    return (embeddings.select(F.col(id_col), s.alias("s"))
+            .select(id_col, F.col("s.list_id").alias("list_id"),
+                    F.col("s.code").alias("code")))
 
 
 def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -204,8 +233,8 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     index = build_pq_index(embeddings, centroids, codebooks,
                            id_col, vec_col)
     q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
-    return _score_pq(index, q, embeddings, codebooks, k, refine,
-                     id_col, vec_col)
+    return _score_pq(index, q, embeddings, codebooks, centroids, k,
+                     refine, id_col, vec_col)
 
 
 def ivfpq_topk_over_index(spark, index_path: str, queries: DataFrame,
@@ -231,21 +260,22 @@ def ivfpq_topk_over_index(spark, index_path: str, queries: DataFrame,
                     for r in q.select("list_id").distinct().collect()})
     index = (spark.read.parquet(index_path)
              .where(F.col("list_id").isin(lists)))
-    return _score_pq(index, q, embeddings, codebooks, k, refine,
-                     id_col, vec_col)
+    return _score_pq(index, q, embeddings, codebooks, centroids, k,
+                     refine, id_col, vec_col)
 
 
 def _score_pq(index: DataFrame, q: DataFrame, embeddings: DataFrame,
-              codebooks: np.ndarray, k: int, refine: int,
-              id_col: str, vec_col: str) -> DataFrame:
+              codebooks: np.ndarray, centroids: np.ndarray, k: int,
+              refine: int, id_col: str, vec_col: str) -> DataFrame:
     """Shared ADC + optional exact-refine scoring over probed cells."""
     from luzzu_spark.similarity import cosine_expr
     adc = (index.join(F.broadcast(q), "list_id")
            .where(F.col("query_id") != F.col(id_col))
            .select("query_id", F.col(id_col).alias("neighbor_id"),
                    "qvec",
-                   _adc_udf(codebooks)(F.col("qvec"),
-                                       F.col("code")).alias("adc")))
+                   _adc_udf(codebooks, centroids)(
+                       F.col("qvec"), F.col("code"),
+                       F.col("list_id")).alias("adc")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id"))
     if refine <= 0:

@@ -72,14 +72,17 @@ _WINDOW: tuple[str, ...] = (
     "text_encoding_quality", "dsir_importance_weights",
     # (b) checked in r01 only
     "agg_salted_by_source", "join_salted_docs_dims",
-    "window_top2_docs_per_source",
     # (c) rewritten this round — fixed-width hash shuffle keys
     "dedup_cross_doc_spans", "docs_benchmark_contamination",
     # (new this round)
     "embed_lsh_multiprobe_topk",
-    # (d) checked in r02 only
-    "text_bpe_token_counts",
-    "dedup_ngram_jaccard_exact",
+    # new this session — classifier distillation features, sequence
+    # packing, and Gopher dup-line fraction, all oracle-hash-checkable
+    # (displace window_top2_docs_per_source [r01-green] and the
+    # r02-green text_bpe_token_counts / dedup_ngram_jaccard_exact:
+    # first rows beat re-greens)
+    "distill_gram_stats", "pack_token_sequences",
+    "text_dup_line_fraction",
     # new this session — Gopher/C4 line-format, content-marker, and
     # alpha-word rules (displace the r02-green sampling trio
     # sample_stable_hash / mix_weights_by_source / sample_quality_mix:

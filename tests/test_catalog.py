@@ -38,12 +38,8 @@ def test_window_covers_never_driver_checked_queries():
         with open(path) as f:
             checked |= set(json.load(f))
     oracles = set(entrymod.oracle_sql())
-    # r03 first-timers that no longer fit the 50-slot budget; covered
-    # by the local DuckDB parity twin until a future round's rotation
-    overflow = {"pack_token_sequences", "distill_gram_stats",
-                "text_dup_line_fraction"}
     must = [n for n in entrymod.queries()
-            if n not in checked and n in oracles and n not in overflow]
+            if n not in checked and n in oracles]
     missing = [n for n in must if n not in _WINDOW]
     assert not missing, f"never-driver-checked but outside window: {missing}"
 
