@@ -555,3 +555,50 @@ def test_incremental_minhash_two_run_flow(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+
+
+def test_pq_residual_codebooks_beat_raw_on_clustered_data():
+    """The reason for residual (IVFPQ-style) coding, measured: on a
+    CLUSTERED corpus — the regime real embedding tables live in, and
+    the premise of IVF itself — quantizing x − centroid[cell(x)]
+    reconstructs with materially lower distortion than quantizing the
+    raw unit vector under the same codeword budget (the coarse
+    centroid absorbs the cluster's shared direction, so the codebooks
+    spend their bits on the small residual ball).
+
+    Measured here: ratio ≈ 0.58 at 32 tight clusters; asserted ≤ 0.75
+    with slack. Honesty note: on structure-free uniform-random vectors
+    (the sf fixture) residual coding is neutral-to-slightly-WORSE
+    (measured ≈ 1.3×) because 8 coarse cells capture almost nothing —
+    the ADC error bound on the fixture is pinned separately in
+    test_ivfpq_adc_approximation_quality and holds either way.
+    Pure numpy — exercises the driver-side training path only."""
+    from luzzu_spark.ivf import _unit_rows, train_centroids
+    from luzzu_spark.pq import PQ_M, _assign_rows, train_pq_codebooks
+
+    dim, m = 64, PQ_M
+    dsub = dim // m
+    rng = np.random.default_rng(12345)
+    centers = _unit_rows(rng.standard_normal((32, dim)))
+    n = 4000
+    X = _unit_rows(centers[np.arange(n) % 32]
+                   + 0.05 * rng.standard_normal((n, dim)))
+
+    def mean_sq_distortion(C: np.ndarray) -> float:
+        books = train_pq_codebooks(X, C, m=m)
+        a = _assign_rows(X, C)
+        R = (X - C[a]).reshape(n, m, dsub)
+        rec = np.empty_like(R)
+        for j in range(m):
+            d = (-2.0 * (R[:, j, :] @ books[j].T)
+                 + (books[j] * books[j]).sum(axis=1)[None, :])
+            rec[:, j, :] = books[j][d.argmin(axis=1)]
+        Xhat = C[a] + rec.reshape(n, dim)
+        return float(np.mean(np.sum((X - Xhat) ** 2, axis=1)))
+
+    d_residual = mean_sq_distortion(train_centroids(X, 32))
+    # one all-zero "centroid" routes every vector to cell 0 with zero
+    # correction — exactly the raw (non-residual) PQ scheme, through
+    # the same code path
+    d_raw = mean_sq_distortion(np.zeros((1, dim)))
+    assert d_residual <= 0.75 * d_raw, (d_residual, d_raw)
