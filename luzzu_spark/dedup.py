@@ -592,3 +592,27 @@ def benchmark_decontaminate(docs: DataFrame, bench_docs: DataFrame,
                     .join(bench_g, "gh", "left_semi")
                     .select(id_col).distinct())
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def cluster_survivors_by_quality(docs: DataFrame, pairs: DataFrame,
+                                 score_col: str,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Quality-priority survivor selection: per connected component of
+    near-dup ``pairs``, keep the member with the HIGHEST ``score_col``
+    (ties → lowest id); docs in no pair survive untouched. Production
+    near-dup policy is rarely "keep the lowest id" — teams keep the
+    longest / highest-quality member so the survivor is the superset
+    copy (cf. the crawl-dedup practice behind C4/Gopher/RefinedWeb).
+
+    Scale: components via near_dup_clusters (per-round shuffle on id,
+    rounds = cluster diameter); the argmax is ONE window over cluster
+    members only (rows = Σ|component|, a vanishing fraction of the
+    corpus); losers anti-join back — broadcastable when small.
+    """
+    members = near_dup_clusters(pairs, id_col=id_col)
+    scored = members.join(docs.select(id_col, score_col), id_col)
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    losers = ranked.where(F.col("rn") > 1).select(id_col)
+    return docs.join(losers, id_col, "left_anti")

@@ -666,3 +666,93 @@ def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("kept").cast("long").alias("n_kept"),
                  F.round(F.max("p"), 6).alias("keep_prob"))
             .orderBy("source"))
+
+
+@register("dedup_cluster_quality_survivors", oracle="""
+WITH RECURSIVE t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks)-3),
+                  i -> array_to_string(toks[i:i+4], ' ')))) AS s
+       FROM t WHERE len(toks) >= 5),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE)
+                / (sa.n + sb.n - n_inter) >= 0.1),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+ranked AS (SELECT l.id AS doc_id, l.cluster, d.n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY l.cluster
+                      ORDER BY d.n_chars DESC, l.id) AS rn
+           FROM labels l JOIN documents d ON d.doc_id = l.id)
+SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked ORDER BY doc_id
+""")
+def dedup_cluster_quality_survivors(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Quality-priority near-dup survivor selection, END TO END
+    hash-checkable: exact 5-gram Jaccard pairs (the inverted-index
+    blocking of dedup_ngram_jaccard_exact) → exact connected
+    components (dedup.near_dup_clusters, iterative min-label
+    propagation) → keep the LONGEST member per cluster (ties → lowest
+    id). The oracle replays the *clustering itself* with a DuckDB
+    recursive-CTE transitive closure, so the iterative Spark algorithm
+    — not just its inputs — is verified against an independent engine.
+
+    Scale: pair discovery is the inverted shingle index (no all-pairs
+    product); components shuffle (id,label) rows only, rounds = cluster
+    diameter; the argmax window runs over cluster MEMBERS (a vanishing
+    fraction of the corpus), never the corpus itself."""
+    from luzzu_spark.dedup import near_dup_clusters
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    sh = (d.where(F.size("toks") >= 5)
+          .select("doc_id", F.explode(F.array_distinct(F.transform(
+              F.sequence(F.lit(1), F.size("toks") - 4),
+              lambda i: F.array_join(F.slice("toks", i, 5), " "))))
+              .alias("s")))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (a.join(b, "s")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
+    pairs = (inter
+             .join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n", "na"), "id_a")
+             .join(sizes.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("n", "nb"), "id_b")
+             .where(F.col("n_inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                    >= 0.1)
+             .select("id_a", "id_b"))
+    members = near_dup_clusters(pairs)
+    from pyspark.sql import Window
+    scored = members.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (scored.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("long"))
+        .select("doc_id", F.col("cluster").cast("long").alias("cluster"),
+                F.col("n_chars").cast("long").alias("n_chars"), "kept")
+        .orderBy("doc_id"))

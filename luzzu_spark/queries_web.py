@@ -1002,3 +1002,98 @@ def text_dup_line_fraction(spark: SparkSession,
                          / F.sum("total_lc"), 6)
                  .alias("micro_dup_char_frac"))
             .orderBy("lang"))
+
+
+_C4_PAGE_SQL = """
+  CASE WHEN doc_id % 5 = 0
+       THEN 'Welcome to our site' || chr(10) ELSE '' END
+  || text || '.'
+  || CASE WHEN doc_id % 3 = 0
+       THEN chr(10) || 'Click here' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+       THEN chr(10) || 'Please enable javascript to continue.'
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+       THEN chr(10) || 'All rights reserved worldwide.' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN chr(10) || 'Buy this now.' ELSE '' END
+  || CASE WHEN doc_id % 8 = 0
+       THEN chr(10) || 'Buy now.' ELSE '' END
+"""
+
+
+def c4_page_expr() -> F.Column:
+    """Deterministic multi-line page exercising every branch of the C4
+    line scrub: a no-punctuation header (% 5), the prose body with a
+    terminal period (always kept when ≥3 words), a 2-word
+    no-punctuation nav line (% 3), a javascript wall WITH punctuation
+    (% 17 — dropped only by the javascript probe), a 4-word footer
+    (% 4, kept), and the 3-word / 2-word word-count boundary pair
+    (% 7 kept, % 8 dropped). Mirrored by _C4_PAGE_SQL."""
+    d = F.col("doc_id")
+
+    def when_mod(m: int, s: str) -> F.Column:
+        return F.when(d % m == 0, F.lit(s)).otherwise(F.lit(""))
+
+    return F.concat(
+        F.when(d % 5 == 0,
+               F.lit("Welcome to our site\n")).otherwise(F.lit("")),
+        F.col("text"), F.lit("."),
+        when_mod(3, "\nClick here"),
+        when_mod(17, "\nPlease enable javascript to continue."),
+        when_mod(4, "\nAll rights reserved worldwide."),
+        when_mod(7, "\nBuy this now."),
+        when_mod(8, "\nBuy now."))
+
+
+@register("text_c4_line_scrub", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, {_C4_PAGE_SQL} AS page FROM documents),
+split AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+scrubbed AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+             regexp_matches(trim(x), '[.!?"]$')
+             AND len(list_filter(string_split(trim(x), ' '),
+                                 w -> w <> '')) >= 3
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM split)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, chr(10))) AS scrub_md5
+FROM scrubbed ORDER BY doc_id
+""")
+def text_c4_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level scrub (Raffel et al. 2020 §2.2) with the
+    REBUILT text verified byte-identically cross-engine: keep only
+    lines that (a) end in terminal punctuation, (b) have ≥3 words,
+    (c) don't contain 'javascript' (case-insensitive); the surviving
+    lines re-join with newlines and the md5 of every rebuilt document
+    is hash-checked against the DuckDB replay — so the scrub output
+    itself, not just its counts, is the verified artifact (same
+    discipline as scrub_pii_identity). Pages are the deterministic
+    c4_page_expr decoration (the clean fixture prose plants every
+    rule branch, mirrored in SQL like the other line rules).
+
+    Scale: pure string ops in one projection — split, per-line
+    predicate, array_join; no explode, no shuffle before the final
+    presentation sort; at 100 TB this runs entirely map-side. The
+    per-line HOF predicate is interpreted (CLAUDE.md rule 1) but runs
+    ONCE per document outside any join/agg hot path — the same
+    documented trade as the shingle builders."""
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", c4_page_expr().alias("page")))
+    lines = F.split(F.col("page"), "\n")
+    kept = F.filter(lines, lambda x: (
+        F.trim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), " "),
+                           lambda w: w != "")) >= 3)
+        & ~F.lower(x).contains("javascript")))
+    return (d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("scrub_md5"))
+        .orderBy("doc_id"))

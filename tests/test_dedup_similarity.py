@@ -602,3 +602,21 @@ def test_pq_residual_codebooks_beat_raw_on_clustered_data():
     # the same code path
     d_raw = mean_sq_distortion(np.zeros((1, dim)))
     assert d_residual <= 0.75 * d_raw, (d_residual, d_raw)
+
+
+def test_cluster_survivors_by_quality(spark):
+    """Quality-priority survivor selection: per component keep the
+    HIGHEST-score member (ties -> lowest id), not the lowest id.
+    Chain 1-2-3 (scores favor the MIDDLE doc), triangle 10-11-12 with
+    a score tie between 11 and 12, and untouched singleton 99."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7),          # argmax is 2, not head 1
+         (10, 4), (11, 8), (12, 8),       # tie 11/12 -> lowest id 11
+         (99, 1)],                        # no pair: survives as-is
+        "doc_id long, score long")
+    kept = {r.doc_id for r in dedup.cluster_survivors_by_quality(
+        docs, pairs, "score").collect()}
+    assert kept == {2, 11, 99}, kept
