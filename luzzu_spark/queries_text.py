@@ -756,3 +756,99 @@ def dedup_cluster_quality_survivors(spark: SparkSession,
         .select("doc_id", F.col("cluster").cast("long").alias("cluster"),
                 F.col("n_chars").cast("long").alias("n_chars"), "kept")
         .orderBy("doc_id"))
+
+
+@register("dedup_dup_span_ranges", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 18)) AS s,
+               unnest(list_transform(range(1, len(toks) - 18),
+                   i -> md5(array_to_string(toks[i:i+19], ' ')))) AS h
+        FROM t WHERE len(toks) >= 20),
+c AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
+fl AS (SELECT doc_id, s FROM occ JOIN c USING (h) WHERE nd > 1),
+isl AS (SELECT doc_id, s,
+               CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         IS NULL
+                    OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         + 20
+                    THEN 1 ELSE 0 END AS ni
+        FROM fl),
+grp AS (SELECT doc_id, s,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl),
+rng AS (SELECT doc_id, g, MIN(s) AS st, MAX(s) + 19 AS en
+        FROM grp GROUP BY doc_id, g),
+sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+SELECT r.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ranges,
+       CAST(SUM(en - st + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(z.n_toks) AS BIGINT) AS n_toks
+FROM rng r JOIN sizes z ON z.doc_id = r.doc_id
+GROUP BY r.doc_id ORDER BY r.doc_id
+""")
+def dedup_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup ranges (Lee et al. 2021 semantics over
+    20-token units): SLIDING spans — unlike dedup_cross_doc_spans'
+    aligned chunks, a duplicate passage is caught at ANY token offset —
+    flagged when their exact text occurs in ≥2 docs, then merged into
+    MAXIMAL duplicated token ranges per doc via gaps-and-islands
+    (overlapping or touching flagged spans coalesce; a new island
+    starts only when start > prev_start + 20). Per doc: range count,
+    total duplicated tokens (union of ranges), token count — all
+    BIGINT-exact; only docs containing ≥1 duplicated span appear.
+
+    Scale shape: the exploded frame carries (doc_id, pos, md5 digest)
+    only — fixed-width keys, no span text crosses a shuffle (the
+    repo's TEXT-KEY rule); cross-doc counting is the same
+    dense_rank/max window as dedup_cross_doc_spans (one exchange,
+    spillable); the island merge is two windows PARTITIONED BY doc_id
+    over flagged positions only — a vanishing fraction of the corpus
+    at real dup rates. Sliding explode is ~20× the aligned-chunk row
+    count: acceptable because rows are (long, int, 32B) triples, and
+    at 100 TB the pass composes with a pre-filter on candidate docs
+    (e.g. MinHash-confirmed near-dup members) when the full corpus
+    sweep is too hot."""
+    from pyspark.sql import Window
+
+    n = 20
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    sized = d.select("doc_id", "toks",
+                     F.size("toks").cast("long").alias("n_toks"))
+    digests = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")))
+    occ = (sized.where(F.col("n_toks") >= n)
+           .select("doc_id", F.posexplode(digests).alias("pos", "h"))
+           .select("doc_id", (F.col("pos") + 1).alias("s"), "h"))
+    w_ord = Window.partitionBy("h").orderBy("doc_id")
+    w_all = Window.partitionBy("h")
+    fl = (occ.withColumn("dr", F.dense_rank().over(w_ord))
+          .withColumn("nd", F.max("dr").over(w_all))
+          .where(F.col("nd") > 1)
+          .select("doc_id", "s"))
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    isl = fl.withColumn(
+        "ni", (F.lag("s").over(w_doc).isNull()
+               | (F.col("s") > F.lag("s").over(w_doc) + n))
+        .cast("long"))
+    grp = isl.withColumn(
+        "g", F.sum("ni").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+    rng = (grp.groupBy("doc_id", "g")
+           .agg(F.min("s").alias("st"),
+                (F.max("s") + (n - 1)).alias("en")))
+    return (rng.join(sized.select("doc_id", "n_toks"), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ranges"),
+                 F.sum(F.col("en") - F.col("st") + 1).cast("long")
+                 .alias("dup_tokens"),
+                 F.max("n_toks").alias("n_toks"))
+            .orderBy("doc_id"))

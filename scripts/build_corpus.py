@@ -55,6 +55,11 @@ def build_args() -> argparse.Namespace:
                         "column); training docs sharing any 13-gram "
                         "are dropped")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--survivor-policy", choices=["first", "quality"],
+                   default="first",
+                   help="near-dup survivor: 'first' keeps the lowest "
+                        "doc_id per cluster; 'quality' keeps the "
+                        "longest scrubbed text (ties -> lowest id)")
     p.add_argument("--sample-rate", type=float, default=1.0,
                    help="content-hash sampling fraction in [0,1]")
     p.add_argument("--pack-budget", type=int, default=2048,
@@ -114,7 +119,13 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     kept = dedup.exact_dedup(kept)
     funnel["after_exact_dedup"] = kept.count()
 
-    kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
+    if args.survivor_policy == "quality":
+        pairs = dedup.minhash_dedup_pairs(kept, args.neardup_threshold)
+        kept = dedup.cluster_survivors_by_quality(
+            kept.withColumn("_q", F.length("text")), pairs,
+            "_q").drop("_q")
+    else:
+        kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
     funnel["after_near_dedup"] = kept.count()
 
     if args.bench_input:

@@ -19,7 +19,8 @@ SF = "/root/testdata/sf0.001"
 def _mkargs(**kw):
     base = dict(input=None, output=None, master=None, as_webpages=True,
                 inject_pii=False, bench_input=None,
-                neardup_threshold=0.5, sample_rate=1.0,
+                neardup_threshold=0.5, survivor_policy="first",
+                sample_rate=1.0,
                 pack_budget=256, format="parquet", json=False)
     base.update(kw)
     return argparse.Namespace(**base)
@@ -106,3 +107,26 @@ def test_sampling_and_determinism(spark, planted_input, tmp_path):
     assert samp_ids < full_ids
     assert 0 < len(samp_ids) < len(full_ids)
     assert sampled["after_sampling"] == len(samp_ids)
+
+
+def test_quality_survivor_policy_keeps_longest(spark, tmp_path):
+    """--survivor-policy quality keeps the LONGEST member of a near-dup
+    cluster (here the higher-id planted superset doc), where the
+    default first-wins policy would keep the lowest id."""
+    docs = load_table(spark, SF, "documents").where("doc_id < 40")
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    extra = " ".join(rows[2]["text"].split()[:12])
+    longer = rows[2]["text"] + " " + extra
+    planted = spark.createDataFrame(
+        [(2002, longer, rows[2]["lang"], rows[2]["source"],
+          len(longer))], docs.schema)
+    inp = str(tmp_path / "docs")
+    docs.unionByName(planted).repartition(4) \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "corpus")
+    bc.build(spark, _mkargs(input=inp, output=out,
+                            survivor_policy="quality"))
+    ids = {r["doc_id"]
+           for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 2002 in ids, "longest cluster member must survive"
+    assert 2 not in ids, "shorter original must be the loser"
