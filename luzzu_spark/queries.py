@@ -74,8 +74,13 @@ _WINDOW: tuple[str, ...] = (
     "agg_salted_by_source", "join_salted_docs_dims",
     # (c) rewritten this round — fixed-width hash shuffle keys
     "dedup_cross_doc_spans", "docs_benchmark_contamination",
-    # (new this round)
-    "embed_lsh_multiprobe_topk",
+    # new this session — end-to-end clustering verification: exact
+    # Jaccard pairs → iterative connected components → quality-argmax
+    # survivors, with the clustering itself replayed by a DuckDB
+    # recursive CTE (displaces the rows-only embed_lsh_multiprobe_topk,
+    # whose recall-lift contract lives in its planted local test:
+    # hash slots beat rows-only slots, VERDICT r02 item 1 principle)
+    "dedup_cluster_quality_survivors",
     # new this session — classifier distillation features, sequence
     # packing, and Gopher dup-line fraction, all oracle-hash-checkable
     # (displace window_top2_docs_per_source [r01-green] and the
@@ -110,6 +115,17 @@ _WINDOW: tuple[str, ...] = (
     # set_union_lang_counts [r01-green]: first rows beat re-greens)
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q16_supplier_diversity", "q20_excess_shippers",
+)
+
+# Oracle-matched first-timers that did NOT fit the 50-slot window this
+# round (53 candidates for 50 slots). Declared explicitly so the window
+# governance test can distinguish "deliberately deferred, parity-proven
+# locally at sf0.001 AND sf0.01" from "forgot to register": these are
+# the first window candidates for round 4.
+_WINDOW_OVERFLOW: tuple[str, ...] = (
+    "text_c4_line_scrub",
+    "dedup_dup_span_ranges",
+    "skew_source_audit",
 )
 
 

@@ -577,3 +577,68 @@ def metrics_run_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.withColumn("delta",
                            F.round(F.col("rate_b") - F.col("rate_a"), 6))
             .orderBy("rule"))
+
+
+@register("skew_source_audit", oracle="""
+WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             FROM documents GROUP BY source)
+SELECT source, n_docs, total_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, source)
+            AS BIGINT) AS rank,
+       CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+                              ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_docs
+FROM per ORDER BY rank
+""")
+def skew_source_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit — the diagnostic a data team runs BEFORE
+    picking salt factors: per-source doc/char counts ranked by weight
+    with a cumulative doc count, so the head keys' corpus share reads
+    straight off the result (rank 1's cum_docs / total = the largest
+    key's share). All BIGINT — hash-exact cross-engine.
+
+    Scale: one hash-agg over the corpus; the ranking window is
+    POST-aggregation (rows = #sources, CLAUDE.md rule 9 — an empty
+    frame window never touches raw docs)."""
+    per = (_docs(spark, sf_dir).groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars")))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("source"))
+    return (per.select(
+        "source", "n_docs", "total_chars",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n_docs").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cum_docs"))
+        .orderBy("rank"))
+
+
+@register("events_hll_distinct_users")  # rows-only: sketch estimates
+def events_hll_distinct_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Spark 4 Datasketches HLL):
+    per-event-type user sketches + their UNION rolled up to a global
+    estimate — the 100 TB cardinality pattern, where partial sketches
+    merge across partitions/days without ever reshuffling raw ids
+    (exact COUNT(DISTINCT) shuffles every distinct value; sketches
+    ship ~KB per group). Deterministic: HLL register updates are
+    max-based, so the sketch is order- and duplication-independent —
+    the same id set yields the same estimate on any partitioning
+    (pinned by test). No oracle by contract (DuckDB's approx uses a
+    different HLL); accuracy vs exact distinct is pinned at <5% and
+    partition-invariance exactly, in tests/test_catalog.py — the
+    query itself stays pure sketch (no exact count_distinct, which
+    would reintroduce the per-value shuffle the sketch exists to
+    avoid)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long").alias("est_total_users"))
+    return (per.select("event_type",
+                       F.hll_sketch_estimate("sk").cast("long")
+                       .alias("est_users"))
+            .crossJoin(F.broadcast(rolled))
+            .orderBy("event_type"))

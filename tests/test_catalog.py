@@ -37,11 +37,20 @@ def test_window_covers_never_driver_checked_queries():
         path = os.path.join(_REPO, fname)
         with open(path) as f:
             checked |= set(json.load(f))
+    from luzzu_spark.queries import _WINDOW_OVERFLOW
+
     oracles = set(entrymod.oracle_sql())
     must = [n for n in entrymod.queries()
             if n not in checked and n in oracles]
-    missing = [n for n in must if n not in _WINDOW]
+    missing = [n for n in must
+               if n not in _WINDOW and n not in _WINDOW_OVERFLOW]
     assert not missing, f"never-driver-checked but outside window: {missing}"
+    # the declared overflow must itself be honest: every entry is a
+    # registered, oracle-matched query that genuinely sits past slot 50
+    names = list(entrymod.queries())
+    for n in _WINDOW_OVERFLOW:
+        assert n in oracles, f"overflow entry {n} has no oracle"
+        assert names.index(n) >= 50, f"overflow entry {n} is in-window"
 
 
 def test_every_window_name_is_registered():
@@ -72,3 +81,34 @@ def test_text_key_audit_detects_offenders():
     rng = _text_shuffle_keys(
         "Exchange rangepartitioning(gram#7 ASC NULLS FIRST, 32)")
     assert rng == ["gram#7"], rng
+
+
+def test_hll_sketch_accuracy_and_partition_invariance(spark):
+    """events_hll_distinct_users contract: every sketch estimate lands
+    within 5% of exact distinct, and the estimates are EXACTLY
+    invariant to input partitioning (HLL register updates are
+    max-based -> order/duplication independent)."""
+    from pyspark.sql import functions as F
+    from luzzu_spark.fixtures import load_table
+    from luzzu_spark.queries import _QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: (r["est_users"], r["est_total_users"])
+           for r in _QUERIES["events_hll_distinct_users"](
+               spark, sf).collect()}
+    e = load_table(spark, sf, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    exact_total = e.select("user_id").distinct().count()
+    for et, n in exact.items():
+        est, est_total = got[et]
+        assert abs(est - n) / n < 0.05, (et, est, n)
+        assert abs(est_total - exact_total) / exact_total < 0.05
+
+    e2 = e.repartition(17, "value")  # reshard on an unrelated column
+    re_got = {r["event_type"]: r["est"] for r in e2.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).cast("long")
+                  .alias("est")).collect()}
+    assert re_got == {et: v[0] for et, v in got.items()}
