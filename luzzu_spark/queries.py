@@ -126,6 +126,8 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "text_c4_line_scrub",
     "dedup_dup_span_ranges",
     "skew_source_audit",
+    "dsir_weighted_sample",
+    "split_train_val_test",
 )
 
 

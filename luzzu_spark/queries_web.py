@@ -1097,3 +1097,127 @@ def text_c4_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, "\n")).alias("scrub_md5"))
         .orderBy("doc_id"))
+
+
+_K6_SQL = ("(CAST(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(d.text), {i + 1}, 1)) - 1)"
+    f" * {16 ** i}" for i in range(6)) + " AS BIGINT))")
+
+
+@register("dsir_weighted_sample", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' ')))), 1, 3) AS bh
+  FROM t WHERE len(toks) >= 2),
+wt AS (
+  SELECT bh,
+         (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000
+           // (COUNT(*) + 1) AS w
+  FROM bg GROUP BY bh),
+per_doc AS (
+  SELECT bg.doc_id,
+         CAST(SUM(wt.w) AS BIGINT) AS total_w,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bg JOIN wt USING (bh) GROUP BY bg.doc_id),
+marked AS (
+  SELECT d.lang,
+         CASE WHEN {_K6_SQL} * p.n_bigrams * 1000000
+                   < p.total_w * 16777216
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_sampled
+FROM marked GROUP BY lang ORDER BY lang
+""")
+def dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance SAMPLING — the second half of Xie et al. 2023
+    (dsir_importance_weights estimates the weights; this query
+    executes the resampling): accept each doc with probability
+    min(1, mean_bucket_weight / 1e6), evaluated ENTIRELY in BIGINTs —
+    accept iff k * n_bigrams * 1e6 < total_w * 2^24 where k is the
+    24-bit md5 prefix (the exact dyadic uniform, cross-multiplied so
+    no division or float ever crosses engines; bounds: k<2^24,
+    n_bigrams<10^3, w≤10^6 keep every product under 2^63). Docs with
+    <2 tokens carry no bigram weight and don't participate — pinned
+    identically by the inner join on both engines.
+
+    Scale: same two passes as the weight estimate (pass 1 on a hash
+    sample at 100 TB); sampling itself is a broadcast-join predicate —
+    reshard-invariant, deterministic, pushdown-composable like
+    sample_stable_hash."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", "lang", "text",
+                 tokens_expr("text").alias("toks")))
+    grams = F.expr("""
+      CASE WHEN size(toks) >= 2 THEN
+        transform(sequence(1, size(toks) - 1),
+          i -> substring(md5(array_join(slice(toks, i, 2), ' ')), 1, 3))
+      ELSE CAST(array() AS array<string>) END""")
+    bg = d.select("doc_id", "lang", F.explode(grams).alias("bh"))
+    wt = (bg.groupBy("bh")
+          .agg(F.expr("(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+                      " + 1) * 1000000 DIV (count(*) + 1)").alias("w")))
+    per_doc = (bg.join(F.broadcast(wt), "bh")
+               .groupBy("doc_id")
+               .agg(F.sum("w").cast("long").alias("total_w"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    m = F.md5("text")
+    k = sum((F.instr(F.lit("0123456789abcdef"),
+                     F.substring(m, i + 1, 1)) - 1) * (16 ** i)
+            for i in range(6)).cast("long")
+    marked = (d.select("doc_id", "lang", k.alias("k"))
+              .join(per_doc, "doc_id")
+              .withColumn("kept",
+                          (F.col("k") * F.col("n_bigrams") * 1000000
+                           < F.col("total_w") * 16777216)
+                          .cast("long")))
+    return (marked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("kept").cast("long").alias("n_sampled"))
+            .orderBy("lang"))
+
+
+@register("split_train_val_test", oracle="""
+WITH marked AS (
+  SELECT lang, n_chars,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+           AS k2
+  FROM documents)
+SELECT lang,
+       CASE WHEN k2 < 204 THEN 'train'
+            WHEN k2 < 230 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM marked GROUP BY lang, split ORDER BY lang, split
+""")
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way corpus split on the content hash —
+    train ~80% / val ~10% / test ~10% via the first byte of md5(text)
+    (k2 < 204 / < 230 / else, exact integer thresholds out of 256).
+    Content-keyed, so the same document lands in the same split on
+    any cluster, any resharding, forever — duplicates can never
+    straddle train/test (the leakage failure mode of random splits).
+
+    Scale: a pushdown-able predicate + one hash-agg, zero joins."""
+    m = F.md5("text")
+    k2 = ((F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1)
+          * 16
+          + (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(m, 2, 1)) - 1))
+    split = (F.when(k2 < 204, F.lit("train"))
+             .when(k2 < 230, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (spread(load_table(spark, sf_dir, "documents"))
+            .select("lang", "n_chars", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang", "split"))
