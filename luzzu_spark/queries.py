@@ -128,6 +128,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "skew_source_audit",
     "dsir_weighted_sample",
     "split_train_val_test",
+    "docs_sql_udf_keep_counts",
 )
 
 

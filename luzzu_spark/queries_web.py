@@ -1221,3 +1221,74 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("sum_chars"))
             .orderBy("lang", "split"))
+
+
+def _sqludf_oracle() -> str:
+    from luzzu_spark.rules import spec as s
+    from luzzu_spark.rules.stopwords import STOPWORDS
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    return f"""
+WITH t AS (
+  SELECT lang,
+         length(coalesce(text, '')) AS n_chars,
+         list_filter(string_split(trim(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(coalesce(text, ''),
+                               '\\s+', '', 'g')) AS nonws,
+         len(regexp_extract_all(coalesce(text, ''),
+                                '[{s.SYMBOL_CHARS}]')) AS n_sym
+  FROM documents),
+m AS (
+  SELECT lang, n_chars, len(toks) AS n_toks,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(nonws AS DOUBLE) / len(toks) END AS mwl,
+         coalesce(list_max(list_transform(toks, x -> length(x))), 0)
+           AS maxw,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(n_sym AS DOUBLE) / len(toks) END AS symr,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(len(list_filter(toks,
+                     x -> list_contains({sw}, x))) AS DOUBLE)
+                   / len(toks) END AS stopf
+  FROM t)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT (n_chars < {s.MIN_DOC_CHARS}
+                  OR n_toks < {s.MIN_WORDS} OR n_toks > {s.MAX_WORDS}
+                  OR mwl < {s.MEAN_WORD_LEN_LO}
+                  OR mwl > {s.MEAN_WORD_LEN_HI}
+                  OR maxw > {s.MAX_WORD_LEN}
+                  OR symr > {s.MAX_SYMBOL_WORD_RATIO}
+                  OR stopf < {s.MIN_STOPWORD_FRAC})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register("docs_sql_udf_keep_counts", oracle=_sqludf_oracle())
+def docs_sql_udf_keep_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The declarative SQL-UDF rule surface (luzzu_spark/sqludf.py)
+    exercised END TO END as a hash-checked query: register the rule
+    functions, then compute per-lang keep counts in PURE SQL —
+    `SELECT lang, count(*), sum(luzzu_heuristic_keep(text)) ...` is
+    the entire engine integration a SQL-only team needs. The oracle
+    re-derives every threshold from rules/spec.py independently in
+    DuckDB (list-based stopword count, since RE2 lacks the lookahead
+    the Spark regex form uses — the two stopword counters are
+    equivalent on whitespace-delimited tokens).
+
+    Scale: SQL UDFs inline into the Catalyst plan (pinned: no
+    EvalPython node, tests/test_sqludf.py) — identical physics to the
+    DataFrame rule expressions; one projection + one hash-agg."""
+    from luzzu_spark.sqludf import register_sql_rules
+    register_sql_rules(spark)
+    view = "luzzu_sqludf_docs"
+    spread(load_table(spark, sf_dir, "documents")) \
+        .createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN luzzu_heuristic_keep(text)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM {view} GROUP BY lang ORDER BY lang""")

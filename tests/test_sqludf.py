@@ -1,0 +1,89 @@
+"""SQL-UDF rule surface (luzzu_spark/sqludf.py): the declarative
+registry for SQL-only users must agree ROW-IDENTICALLY with the
+DataFrame rule expressions, and must inline into the Catalyst plan
+(no Python evaluation stage).
+
+Note: the scalar parity check collects both sides and compares in
+Python — joining a multi-SQL-UDF projection against a DataFrame-expr
+projection trips a Spark 4.1 optimizer plan-validation bug
+(RemoveRedundantAliases), which is a query-shape issue, not a result
+issue (each side evaluates fine alone; the single-UDF join form in
+test_keep_parity works)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from luzzu_spark.rules.heuristics import (heuristic_rules, max_word_len,
+                                          mean_word_len, stopword_frac,
+                                          symbol_ratio,
+                                          with_token_columns)
+from luzzu_spark.sqludf import register_sql_rules
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "   "),
+         (9004, "the " * 50 + "x" * 300),
+         (9005, "# @ $ % & " * 40)],
+        "doc_id long, text string")
+    return docs.unionByName(edge)
+
+
+def test_keep_parity_with_dataframe_rules(spark):
+    register_sql_rules(spark)
+    corpus = _corpus(spark)
+    corpus.createOrReplaceTempView("sqludf_corpus")
+    d = with_token_columns(corpus)
+    fires_any = None
+    for r in heuristic_rules():
+        f = r.fires(r.score())
+        fires_any = f if fires_any is None else (fires_any | f)
+    df_keep = d.select(
+        "doc_id", (~F.coalesce(fires_any, F.lit(False))).alias("k_df"))
+    sql_keep = spark.sql(
+        "SELECT doc_id, luzzu_heuristic_keep(text) AS k_sql "
+        "FROM sqludf_corpus")
+    j = df_keep.join(sql_keep, "doc_id")
+    assert j.count() == corpus.count()
+    assert j.where(~F.col("k_df").eqNullSafe(F.col("k_sql"))).count() == 0
+
+
+def test_scalar_rule_parity(spark):
+    register_sql_rules(spark)
+    corpus = _corpus(spark)
+    corpus.createOrReplaceTempView("sqludf_corpus")
+    # one SQL statement per scalar: several SQL UDFs in one projection
+    # over a union view trips the same Spark 4.1 optimizer bug noted in
+    # the module docstring (shape-only; values are unaffected)
+    got: dict = {}
+    for fn, alias in (("luzzu_mean_word_len", "m"),
+                      ("luzzu_symbol_ratio", "sr"),
+                      ("luzzu_stopword_frac", "sf"),
+                      ("luzzu_max_word_len", "mx")):
+        for r in spark.sql(f"SELECT doc_id, {fn}(text) v "
+                           "FROM sqludf_corpus").collect():
+            got.setdefault(r["doc_id"], []).append(r["v"])
+    got = {k: tuple(v) for k, v in got.items()}
+    want = {r["doc_id"]: (r["m"], r["sr"], r["sf"], r["mx"])
+            for r in with_token_columns(corpus).select(
+                "doc_id", mean_word_len().alias("m"),
+                symbol_ratio().alias("sr"), stopword_frac().alias("sf"),
+                max_word_len().cast("long").alias("mx")).collect()}
+    assert got == want  # exact: identical expressions, identical floats
+
+
+def test_sql_udf_inlines_no_python_stage(spark):
+    """SQL UDFs must expand into the calling plan as pure Catalyst
+    expressions — no BatchEvalPython/ArrowEvalPython node ever."""
+    register_sql_rules(spark)
+    _corpus(spark).createOrReplaceTempView("sqludf_corpus")
+    plan = spark.sql(
+        "SELECT luzzu_heuristic_keep(text) FROM sqludf_corpus") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Project" in plan
