@@ -125,3 +125,45 @@ def default_registry() -> RuleRegistry:
         description="char-trigram LM perplexity (plugin rule, pandas "
                     "UDF, embedded deterministic model)"))
     return reg
+
+
+def sql_rule(name: str, score_sql: str, fire_when_sql: str,
+             deps: tuple[str, ...] = ("text",),
+             description: str = "") -> Rule:
+    """Declare a quality metric in SQL ALONE — the executable LQML
+    recast (/root/reference/README.md:11-13: Luzzu users declare
+    metrics without touching engine code).
+
+    ``score_sql``: any SQL expression over the rule's dep columns and
+    the derived helpers (``tokens``/``n_tokens``/``n_chars``) —
+    compiled via F.expr, so it whole-stage-codegens exactly like the
+    built-in rules. ``fire_when_sql``: a boolean SQL template over
+    ``{score}`` (substituted with the attached score column).
+
+        sql_rule("digit_heavy",
+                 "coalesce(try_divide("
+                 "  regexp_count(text, '[0-9]'), n_chars), 0.0)",
+                 "{score} > 0.3")
+
+    Plug into the pipeline with ``extended_registry``:
+    ``QualityPipeline(registry=extended_registry(rule))``. User rules
+    sort AFTER the frozen RULESPEC order, so default drop_reasons /
+    scrub byte-identity is untouched when no extras are registered.
+    Mind ANSI mode: ratios over possibly-empty docs need try_divide
+    (+ coalesce to pin the fire decision for zero-token docs,
+    CLAUDE.md rule 15)."""
+    return Rule(
+        name=name, deps=tuple(deps),
+        score=lambda: F.expr(score_sql),
+        fires=lambda _c: F.expr(
+            fire_when_sql.format(score=f"score_{name}")),
+        description=description or f"user SQL rule: {score_sql}")
+
+
+def extended_registry(*extra: Rule) -> RuleRegistry:
+    """The frozen default rule-set plus user-declared rules (e.g. from
+    :func:`sql_rule`)."""
+    reg = default_registry()
+    for r in extra:
+        reg.register(r)
+    return reg

@@ -94,6 +94,16 @@ def build_args() -> argparse.Namespace:
                    help="storage path prefix for --neardup-index "
                         "(default <output>/neardup_index)")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--sql-rule", nargs=3, action="append",
+                   metavar=("NAME", "SCORE_SQL", "FIRE_SQL"),
+                   default=None,
+                   help="declare an EXTRA quality rule in SQL alone "
+                        "(LQML recast, repeatable): score expression "
+                        "over text/n_tokens/n_chars, then a boolean "
+                        "template over {score}, e.g. --sql-rule "
+                        "digit_heavy 'coalesce(try_divide(regexp_count"
+                        "(text, \'[0-9]\'), n_chars), 0.0)' "
+                        "'{score} > 0.3'")
     p.add_argument("--json", action="store_true",
                    help="print one machine-readable JSON line at the end")
     p.add_argument("--bench", action="store_true",
@@ -121,7 +131,17 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
     from luzzu_spark.sources import DOCUMENTS_SCHEMA, read_corpus, \
         sniff_format
 
+    extra = getattr(args, "sql_rule", None)
+    if extra:
+        from luzzu_spark.rules.registry import (extended_registry,
+                                                sql_rule)
+        registry = extended_registry(
+            *[sql_rule(n, sc, fw) for n, sc, fw in extra])
+    else:
+        from luzzu_spark.rules.registry import default_registry
+        registry = default_registry()
     pipe = QualityPipeline(
+        registry=registry,
         repartition_salted=args.salt_buckets > 0,
         num_partitions=None)
     fmt = args.input_format or sniff_format(args.input)

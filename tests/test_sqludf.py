@@ -87,3 +87,85 @@ def test_sql_udf_inlines_no_python_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Project" in plan
+
+
+def test_sql_declared_rule_plugs_into_pipeline(spark):
+    """sql_rule: a metric declared in SQL alone must score, fire, and
+    report through the full pipeline exactly like a built-in rule —
+    and leave the default verdict untouched for docs it doesn't hit."""
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.rules.registry import extended_registry, sql_rule
+
+    stops = ("the and is of to in a for on with it as at by this "
+             "that are was").split()
+    clean = " ".join(f"word{i} {stops[i % len(stops)]} item{i}"
+                     for i in range(12))
+    digity = " ".join(f"12345 {stops[i % len(stops)]} 67890"
+                      for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, clean, "en", "srcA", len(clean)),
+         (2, digity, "en", "srcA", len(digity))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+    rule = sql_rule(
+        "digit_heavy",
+        "coalesce(try_divide(CAST(regexp_count(text, '[0-9]') "
+        "AS DOUBLE), n_chars), 0.0)",
+        "{score} > 0.3",
+        description="digit-character fraction bound")
+    pipe = QualityPipeline(registry=extended_registry(rule))
+    got = {r["doc_id"]: r for r in
+           pipe.assess(as_webpages(docs)).collect()}
+
+    assert "digit_heavy" in got[2]["drop_reasons"]
+    assert not got[2]["keep"]
+    assert "digit_heavy" in got[2]["rule_scores"]
+    assert got[2]["rule_scores"]["digit_heavy"] > 0.3
+    assert "digit_heavy" not in got[1]["drop_reasons"]
+
+    # the default registry stays byte-identical: same docs, no extras
+    base = {r["doc_id"]: r for r in
+            QualityPipeline().assess(as_webpages(docs)).collect()}
+    assert base[1]["drop_reasons"] == got[1]["drop_reasons"]
+    assert "digit_heavy" not in base[2]["rule_scores"]
+
+
+def test_cli_sql_rule_flag(spark, tmp_path):
+    """run_filter --sql-rule: a SQL-declared rule from the production
+    entry point drops its targets end-to-end."""
+    import argparse
+
+    import scripts.run_filter as rf
+
+    stops = ("the and is of to in a for on with it as at by this "
+             "that are was").split()
+    clean = " ".join(f"word{i} {stops[i % len(stops)]} item{i}"
+                     for i in range(12))
+    digity = " ".join(f"12345 {stops[i % len(stops)]} 67890"
+                      for i in range(12))
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, clean, "en", "srcA", len(clean)),
+         (2, digity, "en", "srcA", len(digity))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "corpus")
+    res = rf.run_job(spark, argparse.Namespace(
+        input=inp, output=out, master=None, batch_size=2, repeat=1,
+        as_webpages=True, input_format=None, input_schema=None,
+        inject_pii=False, salt_buckets=0, seen_table=None,
+        commit_bucket_table=None, bucket_path=None, n_buckets=4,
+        json=False, bench=False,
+        sql_rule=[["digit_heavy",
+                   "coalesce(try_divide(CAST(regexp_count(text, "
+                   "'[0-9]') AS DOUBLE), n_chars), 0.0)",
+                   "{score} > 0.3"]]))
+    assert res["complete"]
+    from luzzu_spark.checkpoint import ResumableRun
+    ids = {r["doc_id"]
+           for r in spark.read.parquet(ResumableRun.output_glob(out))
+           .select("doc_id").collect()}
+    assert 1 in ids and 2 not in ids
