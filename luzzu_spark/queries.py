@@ -129,6 +129,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "dsir_weighted_sample",
     "split_train_val_test",
     "docs_sql_udf_keep_counts",
+    "dedup_dup_span_removal",
 )
 
 

@@ -852,3 +852,120 @@ def dedup_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("dup_tokens"),
                  F.max("n_toks").alias("n_toks"))
             .orderBy("doc_id"))
+
+
+@register("dedup_dup_span_removal", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 18)) AS s,
+               unnest(list_transform(range(1, len(toks) - 18),
+                   i -> md5(array_to_string(toks[i:i+19], ' ')))) AS h
+        FROM t WHERE len(toks) >= 20),
+c AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
+fl AS (SELECT doc_id, s FROM occ JOIN c USING (h) WHERE nd > 1),
+isl AS (SELECT doc_id, s,
+               CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         IS NULL
+                    OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         + 20
+                    THEN 1 ELSE 0 END AS ni
+        FROM fl),
+grp AS (SELECT doc_id, s,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl),
+rng AS (SELECT doc_id, g, MIN(s) AS st, MAX(s) + 19 AS en
+        FROM grp GROUP BY doc_id, g),
+covered AS (SELECT DISTINCT doc_id,
+                   unnest(range(st, en + 1)) AS i
+            FROM rng),
+pos AS (SELECT t.doc_id,
+               unnest(range(1, len(toks) + 1)) AS i,
+               unnest(toks) AS tok
+        FROM t WHERE t.doc_id IN (SELECT doc_id FROM covered)),
+rebuilt AS (SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   md5(coalesce(string_agg(p.tok, ' ' ORDER BY p.i),
+                                '')) AS cleaned_md5
+            FROM pos p LEFT JOIN covered c
+                 ON c.doc_id = p.doc_id AND c.i = p.i
+            WHERE c.i IS NULL GROUP BY p.doc_id),
+untouched AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS kept_tokens,
+                     md5(array_to_string(toks, ' ')) AS cleaned_md5
+              FROM t WHERE doc_id NOT IN (SELECT doc_id FROM covered))
+SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
+ORDER BY doc_id
+""")
+def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the second half of Lee et al.
+    2021 — dedup_dup_span_ranges detects, this excises): every maximal
+    duplicated token range is cut and the remaining tokens re-join in
+    order; md5 of every cleaned document is hash-checked against the
+    DuckDB replay, so the removal artifact itself is byte-verified
+    (cleaned text = canonical single-space token rejoin on BOTH
+    engines, identical for untouched docs too).
+
+    Scale shape: the token-position explode runs ONLY over docs that
+    actually contain a duplicated range (left-semi restriction) — the
+    overwhelming majority of a real corpus passes through the cheap
+    map-side branch (rejoin + md5 in one projection). Ranges explode
+    to (doc_id, position int) pairs — fixed-width; the rebuild
+    re-sorts each doc's surviving tokens via sort_array over a
+    (pos, token) struct list, giving a deterministic order without
+    relying on collect_list ordering."""
+    from pyspark.sql import Window
+
+    n = 20
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda x: x != "").alias("toks"))
+    digests = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")))
+    occ = (d.where(F.size("toks") >= n)
+           .select("doc_id", F.posexplode(digests).alias("pos", "h"))
+           .select("doc_id", (F.col("pos") + 1).alias("s"), "h"))
+    w_ord = Window.partitionBy("h").orderBy("doc_id")
+    w_all = Window.partitionBy("h")
+    fl = (occ.withColumn("dr", F.dense_rank().over(w_ord))
+          .withColumn("nd", F.max("dr").over(w_all))
+          .where(F.col("nd") > 1)
+          .select("doc_id", "s"))
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    isl = fl.withColumn(
+        "ni", (F.lag("s").over(w_doc).isNull()
+               | (F.col("s") > F.lag("s").over(w_doc) + n))
+        .cast("long"))
+    rng = (isl.withColumn(
+        "g", F.sum("ni").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("st"),
+             (F.max("s") + (n - 1)).alias("en")))
+    covered = (rng.select(
+        "doc_id", F.explode(F.sequence("st", "en")).alias("i"))
+        .distinct())
+    hit_docs = covered.select("doc_id").distinct()
+    # expensive branch: only docs that contain a duplicated range
+    pos = (d.join(hit_docs, "doc_id", "left_semi")
+           .select("doc_id", F.posexplode("toks").alias("p", "tok"))
+           .select("doc_id", (F.col("p") + 1).alias("i"), "tok"))
+    rebuilt = (pos.join(covered, ["doc_id", "i"], "left_anti")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+                    F.md5(F.array_join(F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("i", "tok"))),
+                        lambda x: x["tok"]), " ")).alias("cleaned_md5")))
+    untouched = (d.join(hit_docs, "doc_id", "left_anti")
+                 .select("doc_id",
+                         F.size("toks").cast("long")
+                         .alias("kept_tokens"),
+                         F.md5(F.array_join("toks", " "))
+                         .alias("cleaned_md5")))
+    return rebuilt.unionByName(untouched).orderBy("doc_id")
