@@ -616,3 +616,73 @@ def cluster_survivors_by_quality(docs: DataFrame, pairs: DataFrame,
     ranked = scored.withColumn("rn", F.row_number().over(w))
     losers = ranked.where(F.col("rn") > 1).select(id_col)
     return docs.join(losers, id_col, "left_anti")
+
+
+def remove_dup_spans(docs: DataFrame, n: int = 20,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup removal (Lee et al. 2021) as a corpus
+    transform: cut every maximal cross-document duplicated token range
+    (sliding n-token spans occurring in ≥2 docs, merged
+    gaps-and-islands) and rebuild ``text_col`` from the surviving
+    tokens. Returns ``docs`` with ``text_col`` replaced by the cleaned
+    single-space rejoin (canonical tokenization; untouched docs are
+    rejoined identically, so the output text model is uniform).
+    Docs whose every token was duplicated come back with empty text —
+    callers typically follow with the quality filter, which drops them.
+
+    The catalog twin (queries_text.dedup_dup_span_removal) hash-checks
+    this exact semantics against a DuckDB replay per document.
+
+    Scale shape: spans shuffle as (id, pos, md5) — fixed width; the
+    token-position explode runs ONLY over docs containing a range
+    (left-semi); everything else is one map-side rejoin."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    d = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    digests = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")))
+    occ = (d.where(F.size("_toks") >= n)
+           .select("_id", F.posexplode(digests).alias("pos", "h"))
+           .select("_id", (F.col("pos") + 1).alias("s"), "h"))
+    w_ord = Window.partitionBy("h").orderBy("_id")
+    w_all = Window.partitionBy("h")
+    fl = (occ.withColumn("dr", F.dense_rank().over(w_ord))
+          .withColumn("nd", F.max("dr").over(w_all))
+          .where(F.col("nd") > 1).select("_id", "s"))
+    w_doc = Window.partitionBy("_id").orderBy("s")
+    rng = (fl.withColumn(
+        "ni", (F.lag("s").over(w_doc).isNull()
+               | (F.col("s") > F.lag("s").over(w_doc) + n))
+        .cast("long"))
+        .withColumn("g", F.sum("ni").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("_id", "g")
+        .agg(F.min("s").alias("st"), (F.max("s") + (n - 1)).alias("en")))
+    covered = (rng.select("_id",
+                          F.explode(F.sequence("st", "en")).alias("i"))
+               .distinct())
+    hit = covered.select("_id").distinct()
+    pos = (d.join(hit, "_id", "left_semi")
+           .select("_id", F.posexplode("_toks").alias("p", "tok"))
+           .select("_id", (F.col("p") + 1).alias("i"), "tok"))
+    survivors = (pos.join(covered, ["_id", "i"], "left_anti")
+                 .groupBy("_id")
+                 .agg(F.array_join(F.transform(
+                     F.sort_array(F.collect_list(F.struct("i", "tok"))),
+                     lambda x: x["tok"]), " ").alias("_cleaned")))
+    # hit docs with NO surviving token (fully duplicated) must come
+    # back empty, not fall through to their original text
+    rebuilt = (hit.join(survivors, "_id", "left")
+               .select("_id", F.coalesce("_cleaned", F.lit(""))
+                       .alias("_cleaned")))
+    untouched = (d.join(hit, "_id", "left_anti")
+                 .select("_id",
+                         F.array_join("_toks", " ").alias("_cleaned")))
+    cleaned = rebuilt.unionByName(untouched)
+    return (docs.join(cleaned,
+                      docs[id_col] == cleaned["_id"], "left")
+            .withColumn(text_col,
+                        F.coalesce("_cleaned", F.col(text_col)))
+            .drop("_id", "_cleaned"))

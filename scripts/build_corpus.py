@@ -14,7 +14,11 @@ the same input produce byte-identical corpora):
                      scrub); drops low-quality docs, scrubs PII.
 2. exact dedup     — first-wins on content hash (dedup.exact_dedup).
 3. near-dup dedup  — MinHash+LSH candidates → exact connected
-                     components, lowest-id survivor per cluster.
+                     components; survivor = lowest id (default) or the
+                     longest member (--survivor-policy quality).
+3b. span removal   — optional (--dedup-spans): excise cross-document
+                     duplicated token ranges (Lee et al.
+                     exact-substring removal, dedup.remove_dup_spans).
 4. decontaminate   — drop docs sharing any 13-gram with the benchmark
                      set (dedup.benchmark_decontaminate), if given.
 5. hash-sample     — reshard-invariant content-hash sampling at
@@ -55,6 +59,12 @@ def build_args() -> argparse.Namespace:
                         "column); training docs sharing any 13-gram "
                         "are dropped")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--dedup-spans", action="store_true",
+                   help="excise cross-document duplicated token "
+                        "ranges (Lee et al. exact-substring removal) "
+                        "after near-dup dedup; fully-duplicated docs "
+                        "empty out and fall to the min-chars rule on "
+                        "the next run")
     p.add_argument("--survivor-policy", choices=["first", "quality"],
                    default="first",
                    help="near-dup survivor: 'first' keeps the lowest "
@@ -127,6 +137,10 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     else:
         kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
     funnel["after_near_dedup"] = kept.count()
+
+    if getattr(args, "dedup_spans", False):
+        kept = dedup.remove_dup_spans(kept)
+        funnel["after_span_removal"] = kept.count()
 
     if args.bench_input:
         bench = spark.read.parquet(args.bench_input)

@@ -20,6 +20,7 @@ def _mkargs(**kw):
     base = dict(input=None, output=None, master=None, as_webpages=True,
                 inject_pii=False, bench_input=None,
                 neardup_threshold=0.5, survivor_policy="first",
+                dedup_spans=False,
                 sample_rate=1.0,
                 pack_budget=256, format="parquet", json=False)
     base.update(kw)
@@ -130,3 +131,40 @@ def test_quality_survivor_policy_keeps_longest(spark, tmp_path):
            for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 2002 in ids, "longest cluster member must survive"
     assert 2 not in ids, "shorter original must be the loser"
+
+
+def test_span_removal_stage(spark, tmp_path):
+    """--dedup-spans: a passage shared by two otherwise-distinct docs
+    is excised from the written corpus text. The planted docs borrow
+    fixture bodies whose ORIGINALS are excluded from the input, so the
+    near-dup stage cannot pair them away before the span stage."""
+    all_docs = load_table(spark, SF, "documents").where("doc_id < 40")
+    rows = {r["doc_id"]: r for r in all_docs.collect()}
+    docs = all_docs.where("doc_id NOT IN (4, 10)")
+    # stopwords interleaved so the planted tail RAISES, not dilutes,
+    # the host doc's stopword fraction (keeps it past the quality gate)
+    shared = " ".join(f"the shared{i}" for i in range(25))
+    planted = spark.createDataFrame(
+        [(3001, rows[4]["text"] + " " + shared,
+          rows[4]["lang"], rows[4]["source"], 0),
+         (3002, rows[10]["text"] + " " + shared,
+          rows[10]["lang"], rows[10]["source"], 0)], docs.schema)
+    inp = str(tmp_path / "docs")
+    docs.unionByName(planted).repartition(4) \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "corpus")
+    # neardup_threshold=0.99: the near-dup stage must not pair the
+    # planted docs away (their bodies are fixture texts, and the
+    # fixtures deliberately contain planted near-dup families) — this
+    # test targets the SPAN stage
+    funnel = bc.build(spark, _mkargs(input=inp, output=out,
+                                     dedup_spans=True,
+                                     neardup_threshold=0.99))
+    assert "after_span_removal" in funnel
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(out).select("doc_id", "text").collect()}
+    survived = [d for d in (3001, 3002) if d in got]
+    assert len(survived) == 2, (
+        "both planted docs must reach the span stage", survived)
+    for did in survived:
+        assert "shared0" not in got[did]

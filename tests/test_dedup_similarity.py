@@ -620,3 +620,27 @@ def test_cluster_survivors_by_quality(spark):
     kept = {r.doc_id for r in dedup.cluster_survivors_by_quality(
         docs, pairs, "score").collect()}
     assert kept == {2, 11, 99}, kept
+
+
+def test_remove_dup_spans_excises_shared_block(spark):
+    """Lee et al. removal semantics: a 25-token block shared by two
+    docs (inside different unique contexts) is excised from BOTH;
+    unrelated docs pass through canonically rejoined; a fully
+    duplicated pair comes back EMPTY (not original text)."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    pa = " ".join(f"a{i}" for i in range(30))
+    sa = " ".join(f"z{i}" for i in range(30))
+    pb = " ".join(f"b{i}" for i in range(30))
+    sb = " ".join(f"y{i}" for i in range(30))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    twin = " ".join(f"t{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{pa} {shared} {sa}"), (2, f"{pb} {shared} {sb}"),
+         (3, uniq), (4, twin), (5, twin)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.remove_dup_spans(docs).collect()}
+    assert got[1] == f"{pa} {sa}"
+    assert got[2] == f"{pb} {sb}"
+    assert got[3] == uniq
+    assert got[4] == "" and got[5] == ""
