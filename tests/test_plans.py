@@ -371,3 +371,26 @@ def test_aqe_splits_planted_skew_join(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert n_skew == big.join(dim, "host").count()
+
+
+def test_corpus_sink_prunes_lang_partitions(spark, tmp_path):
+    """The lang-partitioned corpus sink (write_filtered) must give a
+    per-language reader scan-time pruning: the lang predicate lands in
+    PartitionFilters, and input_file_name() on the executed scan shows
+    ONLY the matching lang directory was read — at 100 TB a
+    one-language job touches 1/N of the corpus bytes."""
+    import re
+
+    pages = as_webpages(load_table(spark, SF, "documents"))
+    out = str(tmp_path / "corpus")
+    QualityPipeline().write_filtered(pages, out)
+
+    reader = spark.read.parquet(out).where(F.col("lang") == "en") \
+        .select("doc_id", "lang")
+    plan = _plan(reader)
+    assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan
+
+    files = {r["f"] for r in
+             reader.select(F.input_file_name().alias("f")).collect()}
+    assert files and all("lang=en" in f for f in files), files
+
