@@ -895,7 +895,8 @@ rebuilt AS (SELECT p.doc_id,
             WHERE c.i IS NULL GROUP BY p.doc_id),
 untouched AS (SELECT doc_id,
                      CAST(len(toks) AS BIGINT) AS kept_tokens,
-                     md5(array_to_string(toks, ' ')) AS cleaned_md5
+                     md5(coalesce(array_to_string(toks, ' '), ''))
+                       AS cleaned_md5
               FROM t WHERE doc_id NOT IN (SELECT doc_id FROM covered))
 SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
 ORDER BY doc_id

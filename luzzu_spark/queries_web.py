@@ -1062,7 +1062,8 @@ scrubbed AS (
 SELECT doc_id,
        CAST(len(ls) AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept,
-       md5(array_to_string(kept, chr(10))) AS scrub_md5
+       md5(coalesce(array_to_string(kept, chr(10)), ''))
+         AS scrub_md5
 FROM scrubbed ORDER BY doc_id
 """)
 def text_c4_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,16 @@ SCORE_QUERIES = (
     "text_encoding_quality",
     "pack_token_sequences",
     "dsir_importance_weights",
+    # r03-close additions: line scrub / span ops / samplers / SQL UDFs
+    # over degenerate docs (zero-token, all-stopword, unicode)
+    "text_c4_line_scrub",
+    "dedup_dup_span_ranges",
+    "dedup_dup_span_removal",
+    "dedup_cluster_quality_survivors",
+    "dsir_weighted_sample",
+    "split_train_val_test",
+    "skew_source_audit",
+    "docs_sql_udf_keep_counts",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,
