@@ -130,6 +130,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "split_train_val_test",
     "docs_sql_udf_keep_counts",
     "dedup_dup_span_removal",
+    "text_nfc_normalize",
 )
 
 

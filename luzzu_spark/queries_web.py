@@ -1293,3 +1293,68 @@ def docs_sql_udf_keep_counts(spark: SparkSession,
                CAST(SUM(CASE WHEN luzzu_heuristic_keep(text)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
         FROM {view} GROUP BY lang ORDER BY lang""")
+
+
+_NFD_PAGE_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' cafe' || chr(769) ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+       THEN ' u' || chr(776) || 'ber' ELSE '' END
+"""
+
+
+def nfd_page_expr() -> F.Column:
+    """Deterministic NFD decorations: combining acute (U+0301) after
+    'cafe' (% 3) and combining diaeresis (U+0308) inside 'uber' (% 4)
+    — decomposed sequences a crawler actually emits, which NFC folds
+    to the composed forms. Mirrored by _NFD_PAGE_SQL."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.lit(" cafe\u0301")).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.lit(" u\u0308ber")).otherwise(F.lit("")))
+
+
+@register("text_nfc_normalize", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, {_NFD_PAGE_SQL} AS page FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN nfc_normalize(page) <> page
+            THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       md5(nfc_normalize(page)) AS norm_md5
+FROM pages ORDER BY doc_id
+""")
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization every CC
+    pipeline runs BEFORE hashing/dedup (decomposed 'e'+U+0301 and
+    composed 'é' are different bytes, so un-normalized corpora
+    under-dedup and double-count vocabulary). md5 of every normalized
+    document is hash-checked against DuckDB's nfc_normalize — two
+    independent NFC implementations (Python unicodedata vs utf8proc)
+    agreeing byte-for-byte. Planted NFD decorations guarantee real
+    composition work on every third/fourth doc.
+
+    Scale: Spark has no JVM-side normalizer, so this is an honest
+    Arrow-vectorized pandas UDF (Series.str.normalize) — ONE
+    ArrowEvalPython stage, plain Series→Series per CLAUDE.md rule 2;
+    at 100 TB it composes into the existing fused Python-worker stage
+    alongside langid/perplexity."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: module-level `from __future__ import annotations`
+    # stringifies hints, and pyspark can't resolve 'pd.Series' against
+    # a function-local pandas import
+    nfc = pandas_udf(lambda texts: texts.str.normalize("NFC"),
+                     "string")
+
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("doc_id", nfd_page_expr().alias("page")))
+    return (d.select(
+        "doc_id",
+        (F.col("page") != nfc(F.col("page"))).cast("long")
+        .alias("changed"),
+        F.md5(nfc(F.col("page"))).alias("norm_md5"))
+        .orderBy("doc_id"))
