@@ -131,6 +131,8 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "docs_sql_udf_keep_counts",
     "dedup_dup_span_removal",
     "text_nfc_normalize",
+    "corpus_datasheet",
+    "corpus_shuffle_order",
 )
 
 

@@ -1358,3 +1358,72 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("changed"),
         F.md5(nfc(F.col("page"))).alias("norm_md5"))
         .orderBy("doc_id"))
+
+
+@register("corpus_datasheet", oracle="""
+WITH t AS (SELECT lang, n_chars,
+                  len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) AS n_toks,
+                  source
+           FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS en_ppm,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t
+""")
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card row every corpus release ships (Datasheets for
+    Datasets, Gebru et al.): doc/token/char totals, language and
+    source cardinalities, English ppm (integer cross-multiplied — no
+    float ratio crosses engines), char bounds — ONE corpus pass, one
+    global agg. At 100 TB this is the cheapest full-scan query in the
+    catalog: partial aggs fold map-side, a single row leaves each
+    executor."""
+    from luzzu_spark.rules.heuristics import tokens_expr
+    d = (spread(load_table(spark, sf_dir, "documents"))
+         .select("lang", "source", "n_chars",
+                 F.size(tokens_expr("text")).cast("long")
+                 .alias("n_toks")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr("sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+               "* 1000000 DIV count(*)").cast("long").alias("en_ppm"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"))
+
+
+@register("corpus_shuffle_order", oracle="""
+SELECT doc_id, md5('seed42|' || text) AS shuffle_key
+FROM documents ORDER BY doc_id
+""")
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets
+    shuffle_key = md5(seed || text) — a reproducible global permutation
+    (ORDER BY shuffle_key) that is reshard-invariant (same corpus +
+    seed -> same order on any cluster, forever) and changes wholesale
+    with the seed. The standard trick for shuffling a 10^12-doc corpus
+    without RNG state: the sort key is content-derived, so re-runs and
+    backfills agree.
+
+    Scale: a pure projection — the consumer materializes the order as
+    a range-partitioned SORT on the fixed-width 32-char key (Spark
+    samples key ranges, so it balances regardless of doc order).
+    Deliberately NOT a row_number() over a global window: an
+    empty-frame window collapses the raw corpus onto one partition
+    (CLAUDE.md rule 9); the KEY is the artifact, the rank is implied
+    by it."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (d.select("doc_id",
+                     F.md5(F.concat(F.lit("seed42|"), F.col("text")))
+                     .alias("shuffle_key"))
+            .orderBy("doc_id"))
