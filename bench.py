@@ -135,11 +135,18 @@ def _latest_scaling_run() -> dict:
         with open(path) as f:
             hist = json.load(f)
         runs = hist["runs"]
-        # runs carrying a degraded-host note are recorded for honesty
-        # but are invalid as measurements (contended box, documented
-        # in their note); surface the latest VALID run
-        valid = [r for r in runs if "degraded-host"
-                 not in r.get("note", "")]
+        # runs carrying a degraded-host or anomalous note are
+        # recorded for honesty but are invalid as point measurements
+        # (contended box / depressed-denominator artifact, documented
+        # in their note); surface the latest VALID run plus the
+        # history median — the single-run efficiency ratio swings
+        # with solo-leg trial luck on a virtualized host (both
+        # directions: 0.734 and 1.065 on the same idle box with
+        # IDENTICAL aggregates), so the median over valid runs is the
+        # stable summary
+        valid = [r for r in runs
+                 if "degraded-host" not in r.get("note", "")
+                 and "anomalous" not in r.get("note", "")]
         last = valid[-1]
     except (OSError, KeyError, IndexError, ValueError):
         return {"measured_by": "scripts/executor_scaling_bench.py",
@@ -153,9 +160,15 @@ def _latest_scaling_run() -> dict:
         "efficiency_n_to_4n": last["efficiency"],
         "target": 0.8,
     }
-    n_degraded = len(runs) - len(valid)
-    if n_degraded:
-        out["degraded_host_runs_excluded"] = n_degraded
+    effs = sorted(r["efficiency"] for r in valid)
+    mid = len(effs) // 2
+    out["valid_runs"] = len(effs)
+    out["median_efficiency_valid_runs"] = (
+        effs[mid] if len(effs) % 2 else
+        round((effs[mid - 1] + effs[mid]) / 2, 3))
+    n_excluded = len(runs) - len(valid)
+    if n_excluded:
+        out["invalid_runs_excluded"] = n_excluded
     return out
 
 
