@@ -80,6 +80,10 @@ class QualityPipeline:
 
     registry: RuleRegistry = field(default_factory=default_registry)
     scrub: bool = True
+    # OPT-IN C4 line-level scrub BEFORE assessment (Raffel et al.
+    # order: line filtering, then doc-level rules). Off by default —
+    # the frozen RULESPEC byte-identity contract assumes raw text.
+    line_scrub: bool = False
     repartition_salted: bool = False  # enable for skewed prod inputs
     num_partitions: int | None = None
     auto_spread: bool = True  # lift under-parallel inputs to core count
@@ -95,6 +99,9 @@ class QualityPipeline:
             df = salted_repartition(df, self.num_partitions)
         elif self.auto_spread:
             df = spread(df)
+        if self.line_scrub:
+            from luzzu_spark.rules.scrub import c4_line_scrub_expr
+            df = df.withColumn("text", c4_line_scrub_expr("text"))
         df = with_token_columns(df)
         df = self.registry.with_scores(df)
         df = with_plugin_scores(df)  # ONE fused ArrowEvalPython stage

@@ -102,3 +102,21 @@ def scrub_py(text: str) -> str:
     for _name, rx, repl in _COMPILED:
         text = rx.sub(repl, text)
     return text
+
+
+def c4_line_scrub_expr(text_col: str = "text"):
+    """C4's line-level scrub (Raffel et al. 2020 §2.2) as one
+    expression: keep only lines ending in terminal punctuation, with
+    ≥3 words, not containing 'javascript' (case-insensitive); survivors
+    re-join with newlines. The per-document semantics are hash-checked
+    cross-engine by the text_c4_line_scrub catalog query; here the same
+    expression serves as an OPT-IN pre-assessment stage
+    (QualityPipeline(line_scrub=True)) — off by default, so the frozen
+    RULESPEC byte-identity contract is untouched."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.filter(lines, lambda x: (
+        F.trim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), " "),
+                           lambda w: w != "")) >= 3)
+        & ~F.lower(x).contains("javascript")))
+    return F.array_join(kept, "\n")

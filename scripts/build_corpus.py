@@ -155,6 +155,18 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         kept = assign_seq_ids(kept, args.pack_budget)
         funnel["n_sequences"] = kept.select("seq_id").distinct().count()
 
+    # dataset-card row (corpus_datasheet semantics) for the release
+    from luzzu_spark.rules.heuristics import tokens_expr
+    card = kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr("text")).cast("long"))
+        .alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources")).first()
+    funnel["datasheet"] = {k: (int(v) if v is not None else 0)
+                           for k, v in card.asDict().items()}
+
     writer = kept.write.mode("overwrite")
     if args.format == "json":
         binary_cols = [f.name for f in kept.schema.fields

@@ -58,6 +58,9 @@ def test_full_funnel_drops_each_planted_class(spark, planted_input,
     out = str(tmp_path / "corpus")
     funnel = bc.build(spark, _mkargs(input=inp, output=out,
                                      bench_input=bench))
+    card = funnel["datasheet"]
+    assert card["n_docs"] == funnel["written"]
+    assert card["total_tokens"] > 0 and card["n_sources"] >= 1
     got = spark.read.parquet(out)
     ids = {r["doc_id"] for r in got.select("doc_id").collect()}
 

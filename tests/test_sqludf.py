@@ -169,3 +169,34 @@ def test_cli_sql_rule_flag(spark, tmp_path):
            for r in spark.read.parquet(ResumableRun.output_glob(out))
            .select("doc_id").collect()}
     assert 1 in ids and 2 not in ids
+
+
+def test_line_scrub_pipeline_stage(spark):
+    """QualityPipeline(line_scrub=True) applies the C4 line scrub
+    BEFORE assessment: nav/javascript lines vanish from text_scrubbed;
+    the default pipeline keeps the raw lines (frozen contract)."""
+    from pyspark.sql import functions as F
+
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+
+    stops = ("the and is of to in a for on with it as at by this "
+             "that are was").split()
+    body = " ".join(f"word{i} {stops[i % len(stops)]} item{i}."
+                    for i in range(12))
+    page = body + "\nClick here\nplease enable javascript to see this."
+    docs = spark.createDataFrame(
+        [(1, page, "en", "srcA", len(page))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+    scrubbed = (QualityPipeline(line_scrub=True)
+                .assess(as_webpages(docs))
+                .select("text_scrubbed").first()[0])
+    assert "Click here" not in scrubbed
+    assert "javascript" not in scrubbed
+    assert "word0" in scrubbed
+
+    raw = (QualityPipeline().assess(as_webpages(docs))
+           .select("text_scrubbed").first()[0])
+    assert "Click here" in raw
