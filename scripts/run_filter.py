@@ -94,6 +94,10 @@ def build_args() -> argparse.Namespace:
                    help="storage path prefix for --neardup-index "
                         "(default <output>/neardup_index)")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--line-scrub", action="store_true",
+                   help="run the C4 line-level scrub (terminal "
+                        "punctuation / >=3 words / no javascript) "
+                        "BEFORE assessment")
     p.add_argument("--sql-rule", nargs=3, action="append",
                    metavar=("NAME", "SCORE_SQL", "FIRE_SQL"),
                    default=None,
@@ -142,6 +146,7 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         registry = default_registry()
     pipe = QualityPipeline(
         registry=registry,
+        line_scrub=getattr(args, "line_scrub", False),
         repartition_salted=args.salt_buckets > 0,
         num_partitions=None)
     fmt = args.input_format or sniff_format(args.input)
