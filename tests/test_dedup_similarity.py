@@ -644,3 +644,49 @@ def test_remove_dup_spans_excises_shared_block(spark):
     assert got[2] == f"{pb} {sb}"
     assert got[3] == uniq
     assert got[4] == "" and got[5] == ""
+
+
+def test_remove_dup_spans_matches_python_reference(spark):
+    """Property test: remove_dup_spans ≡ a brute-force Python
+    reference on random small-alphabet corpora (tiny alphabet forces
+    frequent cross-doc span collisions at every alignment). The
+    covered-token set is the invariant — the union of flagged spans —
+    independent of how islands merge."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from luzzu_spark import dedup
+
+    N = 5
+
+    def reference(texts):
+        toks = {i: t.split() for i, t in texts.items()}
+        owners: dict = {}
+        for i, tk in toks.items():
+            for s in range(len(tk) - N + 1):
+                owners.setdefault(tuple(tk[s:s + N]), set()).add(i)
+        out = {}
+        for i, tk in toks.items():
+            covered = set()
+            for s in range(len(tk) - N + 1):
+                if len(owners[tuple(tk[s:s + N])]) >= 2:
+                    covered.update(range(s, s + N))
+            out[i] = " ".join(t for p, t in enumerate(tk)
+                              if p not in covered)
+        return out
+
+    token = st.sampled_from(["a", "b"])
+    doc = st.lists(token, min_size=0, max_size=40).map(" ".join)
+    corpus = st.dictionaries(st.integers(0, 9), doc,
+                             min_size=2, max_size=5)
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus)
+    def prop(texts):
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in dedup.remove_dup_spans(df, n=N).collect()}
+        assert got == reference(texts), (got, reference(texts))
+
+    prop()
