@@ -59,6 +59,9 @@ def build_args() -> argparse.Namespace:
                         "column); training docs sharing any 13-gram "
                         "are dropped")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--line-scrub", action="store_true",
+                   help="run the C4 line-level scrub before "
+                        "assessment (QualityPipeline(line_scrub=True))")
     p.add_argument("--dedup-spans", action="store_true",
                    help="excise cross-document duplicated token "
                         "ranges (Lee et al. exact-substring removal) "
@@ -123,7 +126,9 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         pages = as_webpages(pages, inject_pii=args.inject_pii)
     funnel["input"] = pages.count()
 
-    kept = QualityPipeline().filtered(pages)
+    kept = QualityPipeline(
+        line_scrub=getattr(args, "line_scrub", False)
+    ).filtered(pages)
     funnel["quality_kept"] = kept.count()
 
     kept = dedup.exact_dedup(kept)

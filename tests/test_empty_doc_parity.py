@@ -46,6 +46,9 @@ SCORE_QUERIES = (
     "split_train_val_test",
     "skew_source_audit",
     "docs_sql_udf_keep_counts",
+    "corpus_datasheet",
+    "corpus_shuffle_order",
+    "text_nfc_normalize",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,
