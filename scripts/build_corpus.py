@@ -60,8 +60,12 @@ def build_args() -> argparse.Namespace:
                         "are dropped")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
     p.add_argument("--line-scrub", action="store_true",
-                   help="run the C4 line-level scrub before "
-                        "assessment (QualityPipeline(line_scrub=True))")
+                   help="run the C4 line-level scrub before assessment "
+                        "(QualityPipeline(line_scrub=True)). C4's rule "
+                        "keeps ONLY terminal-punctuated lines of >=3 "
+                        "words - prose without sentence punctuation "
+                        "(e.g. the synthetic fixtures) scrubs to empty "
+                        "and then drops at the min-chars rule")
     p.add_argument("--dedup-spans", action="store_true",
                    help="excise cross-document duplicated token "
                         "ranges (Lee et al. exact-substring removal) "

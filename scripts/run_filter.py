@@ -97,7 +97,9 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--line-scrub", action="store_true",
                    help="run the C4 line-level scrub (terminal "
                         "punctuation / >=3 words / no javascript) "
-                        "BEFORE assessment")
+                        "BEFORE assessment. Prose without sentence "
+                        "punctuation (e.g. the synthetic fixtures) "
+                        "scrubs to empty and then drops at min-chars")
     p.add_argument("--sql-rule", nargs=3, action="append",
                    metavar=("NAME", "SCORE_SQL", "FIRE_SQL"),
                    default=None,
