@@ -503,18 +503,25 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
     """Exact connected components over near-dup pairs → (id, cluster)
     where cluster = lowest reachable id (the cluster head).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converged when the
-    global label sum stops falling (labels are monotone non-increasing,
-    so the sum is a complete convergence certificate). Rounds needed =
-    graph diameter — near-dup clusters are shallow (a handful of
-    rounds); max_iter bounds pathological chains.
+    Iterative min-label propagation WITH per-round pointer doubling:
+    every node takes the min of (its label, its neighbors' labels,
+    its label's label). The neighbor step moves the component min one
+    hop per round; the shortcut step then halves the remaining
+    distance, so convergence needs O(log diameter) rounds — a
+    10^6-node chain converges inside the default max_iter, where
+    plain propagation would need 10^6 rounds. Both steps only ever
+    replace a label with a smaller label of a node in the same
+    component, so the fixpoint is exactly the component minimum.
+    Converged when the global label sum stops falling (labels are
+    monotone non-increasing, so the sum is a complete convergence
+    certificate); if max_iter rounds pass without the certificate,
+    this RAISES instead of returning silently-wrong clusters.
 
-    Scale: each round is one shuffle-on-id join over (edge, label)
-    rows; localCheckpoint() truncates the growing lineage so round N
-    doesn't replan rounds 1..N-1 (the standard Spark iterative-algorithm
-    discipline). No collect — the only driver value is the Σlabel
-    convergence probe."""
+    Scale: each round is two shuffle-on-id joins over (edge, label) /
+    (label, label) rows; localCheckpoint() truncates the growing
+    lineage so round N doesn't replan rounds 1..N-1 (the standard
+    Spark iterative-algorithm discipline). No collect — the only
+    driver value is the Σlabel convergence probe."""
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
     edges = (edges.unionByName(
@@ -524,6 +531,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels,
                               edges.dst == labels.id)
@@ -532,12 +540,27 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                   .select(labels.id,
                           F.least(F.col("label"),
                                   F.coalesce("nlabel", "label"))
+                          .alias("label")))
+        # pointer doubling: shortcut to the label's own label
+        parent = labels.select(F.col("id").alias("pid"),
+                               F.col("label").alias("plabel"))
+        labels = (labels.join(parent, labels.label == parent.pid,
+                              "left")
+                  .select(labels.id,
+                          F.least(F.col("label"),
+                                  F.coalesce("plabel", "label"))
                           .alias("label"))
                   .localCheckpoint())
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters: no convergence certificate after "
+            f"{max_iter} rounds — raise max_iter (log2(diameter) "
+            f"rounds suffice with pointer doubling)")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster"))
 

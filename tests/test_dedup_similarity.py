@@ -690,3 +690,15 @@ def test_remove_dup_spans_matches_python_reference(spark):
         assert got == reference(texts), (got, reference(texts))
 
     prop()
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 60-node path graph needs 59 rounds under plain min-label
+    propagation — silently wrong under max_iter=20 before pointer
+    doubling. With doubling it must converge (O(log n) rounds) to one
+    component labeled by the minimum id, under the DEFAULT max_iter."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster)
+           for r in dedup.near_dup_clusters(pairs).collect()}
+    assert got == {(i, 1) for i in range(1, 61)}, sorted(got)[:5]
