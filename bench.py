@@ -178,7 +178,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from luzzu_spark import queries as _q
-    from luzzu_spark import queries_ml, queries_text  # noqa: F401
+    from luzzu_spark import (queries_ml, queries_scale,  # noqa: F401
+                             queries_text, queries_web)  # noqa: F401
 
     catalog = _q.queries()
     relational = ["q1_pricing_summary", "q3_top_orders",
@@ -214,6 +215,25 @@ def main() -> None:
     for name, ts in trials.items():
         timings[name] = round(min(ts), 3)
 
+    # round-3 operators, timed the same way but kept OUT of the
+    # headline total: the 12-query headline set is the stable
+    # baseline-comparable contract (BASELINE.md bands); these rows give
+    # per-operator visibility for the newer ops without moving it
+    extended = ["text_c4_line_scrub", "dedup_dup_span_removal",
+                "dedup_cluster_quality_survivors", "text_nfc_normalize",
+                "dsir_weighted_sample"]
+    # build INSIDE the timed region: iterative queries (connected
+    # components) execute their rounds during construction, so a
+    # build-once/noop-twice split would undercount them
+    ext_trials = {n: [] for n in extended if n in catalog}
+    for _ in range(2):
+        for name in ext_trials:
+            t0 = time.time()
+            run_noop(catalog[name](spark, SF_DIR))
+            ext_trials[name].append(time.time() - t0)
+    timings_extended = {n: round(min(ts), 3)
+                        for n, ts in ext_trials.items()}
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -226,6 +246,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_extended_r03": timings_extended,
         "sf": sf_val,
         "docs_filtered": n_docs,
         "docs_per_sec": docs_per_sec,
