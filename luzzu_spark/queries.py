@@ -133,6 +133,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "text_nfc_normalize",
     "corpus_datasheet",
     "corpus_shuffle_order",
+    "text_stopword_presence",
 )
 
 

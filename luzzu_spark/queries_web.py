@@ -1427,3 +1427,51 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.md5(F.concat(F.lit("seed42|"), F.col("text")))
                      .alias("shuffle_key"))
             .orderBy("doc_id"))
+
+
+_GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+@register("text_stopword_presence", oracle=f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split(trim(text), ' '), x -> x <> '')
+           AS toks
+  FROM documents),
+m AS (
+  SELECT lang,
+         len(list_filter({str(list(_GOPHER_REQ_STOPS))},
+             s -> list_contains(toks, s))) AS n_present
+  FROM t)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_present >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(n_present) AS BIGINT) AS total_present
+FROM m GROUP BY lang ORDER BY lang
+""")
+def text_stopword_presence(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Gopher's required-stop-word rule (Rae et al. 2021 §A1.1, the
+    presence twin of the FRACTION rule already in the pipeline): a doc
+    must contain ≥2 DISTINCT words from a fixed 8-word English stop
+    list — catching keyword-stuffed pages whose stopword FRACTION can
+    be gamed by repeating one 'the'. Integer-exact: per doc, the count
+    of required words present, per lang the docs passing the ≥2 bar.
+
+    Scale: the 8-word probe is a constant-size array membership per
+    doc — one projection, no explode, no shuffle of text; the HOF runs
+    over the fixed 8-element list, not the token array."""
+    toks = F.filter(F.split(F.trim(F.col("text")), " "),
+                    lambda x: x != "")
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ_STOPS])
+    n_present = F.size(F.filter(
+        req, lambda s: F.array_contains(toks, s)))
+    return (spread(load_table(spark, sf_dir, "documents"))
+            .select("lang", n_present.alias("np"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("np") >= 2).cast("long")).alias("n_pass"),
+                 F.sum("np").cast("long").alias("total_present"))
+            .orderBy("lang"))

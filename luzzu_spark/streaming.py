@@ -153,6 +153,18 @@ def view_to_click_join(views: DataFrame, clicks: DataFrame,
                 F.unix_timestamp("click_ts").alias("click_epoch")))
 
 
+def enrich_with_static(stream_df: DataFrame, dim: DataFrame,
+                       key: str = "event_type") -> DataFrame:
+    """Stream-STATIC join (SURVEY.md §2.8 family): each micro-batch
+    joins the static dimension — no watermark or state needed, because
+    the static side is fully known; Spark broadcasts it into every
+    batch. The 100 TB shape: a slowly-changing reference table
+    (source reputation, host metadata) enriches the live crawl stream
+    without any stream-side buffering. Same builder runs in batch for
+    the parity twin (tests/test_streaming.py)."""
+    return stream_df.join(F.broadcast(dim), key)
+
+
 def stateful_user_totals(events: DataFrame,
                          watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running

@@ -49,6 +49,7 @@ SCORE_QUERIES = (
     "corpus_datasheet",
     "corpus_shuffle_order",
     "text_nfc_normalize",
+    "text_stopword_presence",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,

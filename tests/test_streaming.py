@@ -320,3 +320,31 @@ def test_stream_neardup_index_across_epochs(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS nd_stream_idx_sigs")
         spark.sql("DROP TABLE IF EXISTS nd_stream_idx_bands")
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path_factory):
+    """Stream-STATIC enrichment join: each micro-batch broadcasts the
+    static dimension (no state, no watermark); results must equal the
+    identical batch join row-for-row."""
+    path = str(tmp_path_factory.mktemp("sstatic") / "events")
+    events = load_table(spark, SF, "events")
+    events.repartition(4).write.mode("overwrite").parquet(path)
+    batch = spark.read.parquet(path)
+
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 3), ("purchase", 10),
+         ("scroll", 0), ("share", 5)],
+        "event_type string, weight int")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 2).parquet(path))
+    enriched = streaming.enrich_with_static(stream, dim) \
+        .select("event_id", "event_type", "weight")
+    _drain(streaming.run_to_memory(enriched, "sstatic_out"))
+    got = spark.table("sstatic_out")
+
+    want = streaming.enrich_with_static(batch, dim) \
+        .select("event_id", "event_type", "weight")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
