@@ -118,10 +118,18 @@ _WINDOW: tuple[str, ...] = (
 )
 
 # Oracle-matched first-timers that did NOT fit the 50-slot window this
-# round (53 candidates for 50 slots). Declared explicitly so the window
-# governance test can distinguish "deliberately deferred, parity-proven
-# locally at sf0.001 AND sf0.01" from "forgot to register": these are
-# the first window candidates for round 4.
+# round (53 candidates for 50 slots at rotation time, more added since).
+# Declared explicitly so the window governance test can distinguish
+# "deliberately deferred, parity-proven locally at sf0.001 AND sf0.01"
+# from "forgot to register": these are the first window candidates for
+# round 4.
+#
+# ROUND-4 ROTATION PLAN (apply at round start, keep the governance
+# tests green): move every _WINDOW_OVERFLOW entry into slots 1-N of
+# _WINDOW, displacing the r03-green queries with the LONGEST green
+# history first (q6/q12/q14/q18/q19 and the queries_scale batch will
+# then hold rows from two consecutive rounds); keep any query whose
+# implementation changed since its last driver row inside the window.
 _WINDOW_OVERFLOW: tuple[str, ...] = (
     "text_c4_line_scrub",
     "dedup_dup_span_ranges",
