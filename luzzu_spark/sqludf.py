@@ -68,6 +68,17 @@ def rule_function_sql() -> dict[str, str]:
             "RETURNS DOUBLE RETURN try_divide("
             f"regexp_count(coalesce(text, ''), {stop_pat}), "
             f"{_N_TOKENS})",
+        "luzzu_quality_score":
+            "RETURNS DOUBLE RETURN "
+            f"0.25 * CAST(luzzu_n_chars(text) >= {s.MIN_DOC_CHARS} "
+            "AS DOUBLE) "
+            f"+ 0.25 * CAST(luzzu_n_tokens(text) >= {s.MIN_WORDS} "
+            "AS DOUBLE) "
+            "+ 0.25 * coalesce(CAST(luzzu_stopword_frac(text) >= "
+            f"{s.MIN_STOPWORD_FRAC} AS DOUBLE), 0.0) "
+            "+ 0.25 * coalesce(CAST(luzzu_mean_word_len(text) "
+            f"BETWEEN {s.MEAN_WORD_LEN_LO} AND {s.MEAN_WORD_LEN_HI} "
+            "AS DOUBLE), 0.0)",
         "luzzu_heuristic_keep":
             "RETURNS BOOLEAN RETURN NOT ("
             f"luzzu_n_chars(text) < {s.MIN_DOC_CHARS} "

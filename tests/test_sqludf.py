@@ -200,3 +200,22 @@ def test_line_scrub_pipeline_stage(spark):
     raw = (QualityPipeline().assess(as_webpages(docs))
            .select("text_scrubbed").first()[0])
     assert "Click here" in raw
+
+
+def test_quality_score_sql_udf_parity(spark):
+    """luzzu_quality_score (SQL) ≡ quality_score_expr (DataFrame)
+    row-identically — 0.25-quantized doubles, exact comparison,
+    including zero-token docs (both pin the ratio terms to 0)."""
+    from luzzu_spark.queries_text import quality_score_expr
+
+    register_sql_rules(spark)
+    corpus = _corpus(spark)
+    corpus.createOrReplaceTempView("sqludf_corpus")
+    got = {r["doc_id"]: r["q"] for r in spark.sql(
+        "SELECT doc_id, luzzu_quality_score(text) q "
+        "FROM sqludf_corpus").collect()}
+    want = {r["doc_id"]: r["q"]
+            for r in with_token_columns(corpus)
+            .select("doc_id", quality_score_expr().alias("q"))
+            .collect()}
+    assert got == want
