@@ -142,6 +142,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "corpus_datasheet",
     "corpus_shuffle_order",
     "text_stopword_presence",
+    "text_dup_para_fraction",
 )
 
 

@@ -1475,3 +1475,103 @@ def text_stopword_presence(spark: SparkSession,
                  F.sum((F.col("np") >= 2).cast("long")).alias("n_pass"),
                  F.sum("np").cast("long").alias("total_present"))
             .orderBy("lang"))
+
+
+_DUPPARA_PAGE_SQL = """
+  'Intro paragraph number one for page ' || doc_id || '.'
+  || chr(10) || chr(10) || text
+  || CASE WHEN doc_id % 6 = 0
+       THEN repeat(chr(10) || chr(10) || 'Subscribe to our list.', 2)
+       ELSE '' END
+  || CASE WHEN doc_id % 9 = 0
+       THEN chr(10) || chr(10) || text ELSE '' END
+"""
+
+
+def duppara_page_expr() -> F.Column:
+    """Deterministic multi-paragraph page: every doc gets a unique
+    intro paragraph + its body; doc_id % 6 adds the same short CTA
+    paragraph twice (fires the 30% dup-PARAGRAPH rule, not the char
+    rule); doc_id % 9 repeats the whole body paragraph (fires the 20%
+    dup-paragraph-CHAR rule). Mirrored by _DUPPARA_PAGE_SQL."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("Intro paragraph number one for page "),
+        d.cast("string"), F.lit("."),
+        F.lit("\n\n"), F.col("text"),
+        F.when(d % 6 == 0,
+               F.lit("\n\nSubscribe to our list."
+                     "\n\nSubscribe to our list."))
+        .otherwise(F.lit("")),
+        F.when(d % 9 == 0,
+               F.concat(F.lit("\n\n"), F.col("text")))
+        .otherwise(F.lit("")))
+
+
+@register("text_dup_para_fraction", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, lang, {_DUPPARA_PAGE_SQL} AS page FROM documents),
+paras AS (
+  SELECT doc_id, lang,
+         md5(unnest(string_split(page, chr(10) || chr(10)))) AS ph,
+         length(unnest(string_split(page, chr(10) || chr(10)))) AS pl
+  FROM pages),
+cnt AS (
+  SELECT doc_id, lang, ph, pl, COUNT(*) AS c
+  FROM paras GROUP BY doc_id, lang, ph, pl),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_paras,
+         CAST(SUM(c - 1) AS BIGINT) AS dup_paras,
+         CAST(SUM(c * pl) AS BIGINT) AS total_pc,
+         CAST(SUM((c - 1) * pl) AS BIGINT) AS dup_pc
+  FROM cnt GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_paras * 10 > 3 * n_paras
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_paras,
+       CAST(SUM(CASE WHEN dup_pc * 5 > total_pc
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_chars,
+       CAST(ROUND(CAST(SUM(dup_paras) AS DOUBLE) / SUM(n_paras), 6)
+            AS DOUBLE) AS micro_dup_para_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+""")
+def text_dup_para_fraction(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-PARAGRAPH rules (Rae et al. §A1.1 — the
+    paragraph twins of the dup-line rules, completing the repetition
+    family: lines/chars/n-grams/top-word/paragraphs): flag docs whose
+    duplicate-paragraph fraction exceeds 30% (instances beyond first)
+    or whose duplicate-paragraph CHAR fraction exceeds 20% — exact
+    integer cross-multiplications over planted multi-paragraph pages
+    mirrored in SQL.
+
+    Scale: explode paragraphs → hash-agg on (doc_id, md5(para)) —
+    paragraph text reduces to a fixed-width digest before the shuffle
+    (TEXT-KEY discipline), identical plan shape to the line rule."""
+    pages = (spread(load_table(spark, sf_dir, "documents"))
+             .select("doc_id", "lang",
+                     duppara_page_expr().alias("page")))
+    paras = pages.select(
+        "doc_id", "lang",
+        F.explode(F.split("page", "\n\n")).alias("para"))
+    cnt = (paras.select("doc_id", "lang", F.md5("para").alias("ph"),
+                        F.length("para").alias("pl"))
+           .groupBy("doc_id", "lang", "ph", "pl")
+           .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (cnt.groupBy("doc_id", "lang")
+               .agg(F.sum("c").alias("n_paras"),
+                    F.sum(F.col("c") - 1).alias("dup_paras"),
+                    F.sum(F.col("c") * F.col("pl")).alias("total_pc"),
+                    F.sum((F.col("c") - 1) * F.col("pl"))
+                    .alias("dup_pc")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("dup_paras") * 10 > 3 * F.col("n_paras"))
+                       .cast("long")).alias("n_flag_dup_paras"),
+                 F.sum((F.col("dup_pc") * 5 > F.col("total_pc"))
+                       .cast("long")).alias("n_flag_dup_chars"),
+                 F.round(F.sum("dup_paras").cast("double")
+                         / F.sum("n_paras"), 6)
+                 .alias("micro_dup_para_frac"))
+            .orderBy("lang"))

@@ -50,6 +50,7 @@ SCORE_QUERIES = (
     "corpus_shuffle_order",
     "text_nfc_normalize",
     "text_stopword_presence",
+    "text_dup_para_fraction",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,
