@@ -143,6 +143,7 @@ _WINDOW_OVERFLOW: tuple[str, ...] = (
     "corpus_shuffle_order",
     "text_stopword_presence",
     "text_dup_para_fraction",
+    "metrics_daq_hierarchy",
 )
 
 

@@ -1575,3 +1575,112 @@ def text_dup_para_fraction(spark: SparkSession,
                          / F.sum("n_paras"), 6)
                  .alias("micro_dup_para_frac"))
             .orderBy("lang"))
+
+
+# daQ recast taxonomy (/root/reference/README.md:6 — results organized
+# Category → Dimension → Metric): each heuristic rule mapped onto the
+# daQ-style hierarchy the reference's quality-metadata graph uses.
+_DAQ_MAP = (
+    ("intrinsic", "completeness", "min_chars"),
+    ("intrinsic", "completeness", "word_count"),
+    ("representational", "understandability", "mean_word_len"),
+    ("representational", "understandability", "max_word_len"),
+    ("intrinsic", "accuracy", "symbol_ratio"),
+    ("contextual", "relevancy", "stopword_frac"),
+)
+
+
+def _daq_oracle() -> str:
+    from luzzu_spark.rules import spec as s
+    from luzzu_spark.rules.stopwords import STOPWORDS
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    rows = ", ".join(f"('{c}', '{d}', '{r}')" for c, d, r in _DAQ_MAP)
+    return f"""
+WITH t AS (
+  SELECT length(coalesce(text, '')) AS n_chars,
+         list_filter(string_split(trim(coalesce(text, '')), ' '),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(coalesce(text, ''),
+                               '\\s+', '', 'g')) AS nonws,
+         len(regexp_extract_all(coalesce(text, ''),
+                                '[{s.SYMBOL_CHARS}]')) AS n_sym
+  FROM documents),
+m AS (
+  SELECT n_chars, len(toks) AS n_toks,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(nonws AS DOUBLE) / len(toks) END AS mwl,
+         coalesce(list_max(list_transform(toks, x -> length(x))), 0)
+           AS maxw,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(n_sym AS DOUBLE) / len(toks) END AS symr,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST(len(list_filter(toks,
+                     x -> list_contains({sw}, x))) AS DOUBLE)
+                   / len(toks) END AS stopf
+  FROM t),
+fired AS (
+  SELECT 'min_chars' AS rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars < {s.MIN_DOC_CHARS}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_fired FROM m
+  UNION ALL SELECT 'word_count', COUNT(*),
+         CAST(SUM(CASE WHEN n_toks < {s.MIN_WORDS}
+                  OR n_toks > {s.MAX_WORDS}
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'mean_word_len', COUNT(*),
+         CAST(SUM(CASE WHEN mwl < {s.MEAN_WORD_LEN_LO}
+                  OR mwl > {s.MEAN_WORD_LEN_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'max_word_len', COUNT(*),
+         CAST(SUM(CASE WHEN maxw > {s.MAX_WORD_LEN}
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'symbol_ratio', COUNT(*),
+         CAST(SUM(CASE WHEN symr > {s.MAX_SYMBOL_WORD_RATIO}
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM m
+  UNION ALL SELECT 'stopword_frac', COUNT(*),
+         CAST(SUM(CASE WHEN stopf < {s.MIN_STOPWORD_FRAC}
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM m),
+map AS (SELECT * FROM (VALUES {rows}) v(category, dimension, rule))
+SELECT map.category, map.dimension, map.rule, f.n_docs, f.n_fired
+FROM fired f JOIN map ON map.rule = f.rule
+ORDER BY 1, 2, 3
+"""
+
+
+@register("metrics_daq_hierarchy", oracle=_daq_oracle())
+def metrics_daq_hierarchy(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Luzzu's daQ quality-metadata graph as a hash-checked query
+    (/root/reference/README.md:6,8 — observations organized Category →
+    Dimension → Metric): per-rule firing counts joined to the recast
+    daQ taxonomy, so 'queryable quality metadata' means literally
+    SELECT category, dimension, rule, n_fired. The oracle re-derives
+    every rule firing independently in DuckDB from rules/spec.py
+    thresholds — NULL ratio semantics pinned as in the keep-counts
+    twin (a zero-token doc fires word_count, never the NULL ratios).
+
+    Scale: ONE corpus pass computes all six flags in a single
+    projection (integer sums, map-side partials); the 6-row taxonomy
+    broadcasts."""
+    from luzzu_spark.rules.heuristics import (heuristic_rules,
+                                              with_token_columns)
+    d = with_token_columns(
+        spread(load_table(spark, sf_dir, "documents")))
+    rules = {r.name: r for r in heuristic_rules()}
+    flags = d.select(*[
+        F.coalesce(rules[name].fires(rules[name].score())
+                   .cast("long"), F.lit(0)).alias(name)
+        for _, _, name in _DAQ_MAP])
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(name).alias(f"f_{name}") for _, _, name in _DAQ_MAP])
+    stack = ", ".join(f"'{name}', f_{name}" for _, _, name in _DAQ_MAP)
+    fired = agg.select(
+        "n_docs",
+        F.expr(f"stack({len(_DAQ_MAP)}, {stack}) AS (rule, n_fired)"))
+    mapping = spark.createDataFrame(
+        list(_DAQ_MAP), "category string, dimension string, rule string")
+    return (fired.join(F.broadcast(mapping), "rule")
+            .select("category", "dimension", "rule",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_fired").cast("long").alias("n_fired"))
+            .orderBy("category", "dimension", "rule"))

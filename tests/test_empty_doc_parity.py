@@ -51,6 +51,7 @@ SCORE_QUERIES = (
     "text_nfc_normalize",
     "text_stopword_presence",
     "text_dup_para_fraction",
+    "metrics_daq_hierarchy",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,
