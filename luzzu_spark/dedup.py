@@ -648,11 +648,15 @@ def remove_dup_spans(docs: DataFrame, n: int = 20,
     transform: cut every maximal cross-document duplicated token range
     (sliding n-token spans occurring in ≥2 docs, merged
     gaps-and-islands) and rebuild ``text_col`` from the surviving
-    tokens. Returns ``docs`` with ``text_col`` replaced by the cleaned
-    single-space rejoin (canonical tokenization; untouched docs are
-    rejoined identically, so the output text model is uniform).
-    Docs whose every token was duplicated come back with empty text —
-    callers typically follow with the quality filter, which drops them.
+    tokens. Docs containing NO duplicated range keep their ORIGINAL
+    text byte-for-byte — newlines, tabs and spacing intact, so
+    downstream line/paragraph rules still see real structure (ADVICE
+    r03: the old behavior canonicalized the whole corpus). Only docs
+    that actually lose a range come back as the single-space token
+    rejoin (token excision cannot reconstruct the original whitespace
+    around a removed span). Docs whose every token was duplicated
+    come back with empty text — callers typically follow with the
+    quality filter, which drops them.
 
     The catalog twin (queries_text.dedup_dup_span_removal) hash-checks
     this exact semantics against a DuckDB replay per document.
@@ -700,12 +704,10 @@ def remove_dup_spans(docs: DataFrame, n: int = 20,
     rebuilt = (hit.join(survivors, "_id", "left")
                .select("_id", F.coalesce("_cleaned", F.lit(""))
                        .alias("_cleaned")))
-    untouched = (d.join(hit, "_id", "left_anti")
-                 .select("_id",
-                         F.array_join("_toks", " ").alias("_cleaned")))
-    cleaned = rebuilt.unionByName(untouched)
-    return (docs.join(cleaned,
-                      docs[id_col] == cleaned["_id"], "left")
+    # untouched docs fall through the left join below with _cleaned
+    # NULL → coalesce keeps their original text verbatim
+    return (docs.join(rebuilt,
+                      docs[id_col] == rebuilt["_id"], "left")
             .withColumn(text_col,
                         F.coalesce("_cleaned", F.col(text_col)))
             .drop("_id", "_cleaned"))

@@ -140,12 +140,17 @@ def distill(docs: DataFrame, lam: float = RIDGE_LAMBDA) -> DataFrame:
     solve → broadcast scoring. Returns per-doc
     (doc_id, y, score, y_hat).
 
-    The feature frame is persisted once and forked four ways (both
-    sides of the Gram self-join, XtY, scoring) — the same
-    one-pass-many-sinks discipline as pipeline.write_reports; without
-    it the corpus tokenize/explode/agg re-executes per consumer
-    (measured 14.2 s → 2.3 s warm at sf0.1). The training collects
-    materialize the cache before the returned frame is consumed."""
+    The feature frame is persisted for the TRAINING consumers only
+    (both sides of the Gram self-join + XtY — three forks whose
+    collects materialize the cache; without it the corpus
+    tokenize/explode/agg re-executes per consumer, measured
+    14.2 s → 2.3 s warm at sf0.1) and unpersisted as soon as the
+    driver solve is done (ADVICE r03: the cache must not stay pinned
+    for the rest of the session). The returned scoring frame rebuilds
+    its features lazily in ONE streaming pass — no cache needed for a
+    single consumer, and at 100 TB the scoring pass should not expect
+    the corpus to fit in executor storage anyway."""
     feats = doc_features(docs).persist()
-    w = train_student(feats, lam)
-    return student_scores(feats, w)
+    w = train_student(feats, lam)   # collects ⇒ cache fully consumed
+    feats.unpersist()
+    return student_scores(doc_features(docs), w)

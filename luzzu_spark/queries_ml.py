@@ -635,11 +635,12 @@ def pipeline_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference labeler is the pure-pandas twin of the rule spec
     (oracle_pandas.assess_frame, the role the code-stripped reference
-    repo cannot play); it runs driver-side on the fixture frame — a
-    VERIFICATION query, bounded by fixture scale, not a production
-    path. The Spark side is the full UDF pipeline; labels join on url."""
-    import pandas as pd
-    from luzzu_spark import oracle_pandas
+    repo cannot play). It is per-document pure, so it runs EXECUTOR-
+    side via mapInPandas — one Arrow batch at a time, never
+    materializing the corpus on the driver (VERDICT r03 flagged the
+    previous whole-corpus toPandas as the catalog's one driver-side
+    scale-killer). The Spark side is the full UDF pipeline; labels
+    join on url."""
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.pipeline import QualityPipeline
 
@@ -648,15 +649,20 @@ def pipeline_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     assessed = QualityPipeline().assess(pages).select(
         "url", F.col("keep").alias("keep_spark"))
 
-    ref_pdf = oracle_pandas.assess_frame(
-        docs.select("doc_id", "source", "text").toPandas(),
-        inject_pii=True)
-    ref_pdf["url"] = ("https://" + ref_pdf["source"]
-                      + ".example.com/doc/"
-                      + ref_pdf["doc_id"].astype(str))
-    ref = spark.createDataFrame(
-        pd.DataFrame({"url": ref_pdf["url"],
-                      "keep_ref": ref_pdf["keep"]}))
+    def label_batches(batches):
+        # imports inside: runs on executors (fresh interpreter)
+        import pandas as pd
+        from luzzu_spark import oracle_pandas
+        for pdf in batches:
+            out = oracle_pandas.assess_frame(pdf, inject_pii=True)
+            yield pd.DataFrame({
+                "url": ("https://" + out["source"]
+                        + ".example.com/doc/"
+                        + out["doc_id"].astype(str)),
+                "keep_ref": out["keep"].astype(bool)})
+
+    ref = (spread(docs).select("doc_id", "source", "text")
+           .mapInPandas(label_batches, "url string, keep_ref boolean"))
 
     m = (assessed.join(ref, "url")
          .agg(F.sum((F.col("keep_spark") & F.col("keep_ref"))

@@ -893,11 +893,11 @@ rebuilt AS (SELECT p.doc_id,
             FROM pos p LEFT JOIN covered c
                  ON c.doc_id = p.doc_id AND c.i = p.i
             WHERE c.i IS NULL GROUP BY p.doc_id),
-untouched AS (SELECT doc_id,
-                     CAST(len(toks) AS BIGINT) AS kept_tokens,
-                     md5(coalesce(array_to_string(toks, ' '), ''))
-                       AS cleaned_md5
-              FROM t WHERE doc_id NOT IN (SELECT doc_id FROM covered))
+untouched AS (SELECT t.doc_id,
+                     CAST(len(t.toks) AS BIGINT) AS kept_tokens,
+                     md5(coalesce(d.text, '')) AS cleaned_md5
+              FROM t JOIN documents d USING (doc_id)
+              WHERE t.doc_id NOT IN (SELECT doc_id FROM covered))
 SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
 ORDER BY doc_id
 """)
@@ -906,9 +906,11 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     2021 — dedup_dup_span_ranges detects, this excises): every maximal
     duplicated token range is cut and the remaining tokens re-join in
     order; md5 of every cleaned document is hash-checked against the
-    DuckDB replay, so the removal artifact itself is byte-verified
-    (cleaned text = canonical single-space token rejoin on BOTH
-    engines, identical for untouched docs too).
+    DuckDB replay, so the removal artifact itself is byte-verified.
+    Docs with NO duplicated range keep their ORIGINAL text verbatim
+    (md5 of the raw column on both engines — the dedup.remove_dup_spans
+    contract after ADVICE r03); only excised docs are rebuilt as the
+    canonical single-space token rejoin.
 
     Scale shape: the token-position explode runs ONLY over docs that
     actually contain a duplicated range (left-semi restriction) — the
@@ -922,7 +924,7 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 20
     d = _docs(spark, sf_dir).select(
-        "doc_id",
+        "doc_id", "text",
         F.filter(F.split(F.trim(F.col("text")), " "),
                  lambda x: x != "").alias("toks"))
     digests = F.transform(
@@ -967,6 +969,6 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id",
                          F.size("toks").cast("long")
                          .alias("kept_tokens"),
-                         F.md5(F.array_join("toks", " "))
+                         F.md5(F.coalesce("text", F.lit("")))
                          .alias("cleaned_md5")))
     return rebuilt.unionByName(untouched).orderBy("doc_id")

@@ -1127,13 +1127,17 @@ per_doc AS (
   FROM bg JOIN wt USING (bh) GROUP BY bg.doc_id),
 marked AS (
   SELECT d.lang,
-         CASE WHEN {_K6_SQL} * p.n_bigrams * 1000000
-                   < p.total_w * 16777216
-              THEN 1 ELSE 0 END AS kept
+         {_K6_SQL} * 1000000
+           - (p.total_w // p.n_bigrams) * 16777216 AS lt,
+         p.total_w % p.n_bigrams AS rem,
+         p.n_bigrams AS nb
   FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id)
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(kept) AS BIGINT) AS n_sampled
+       CAST(SUM(CASE WHEN lt < 0 THEN 1
+                     WHEN lt >= 16777216 THEN 0
+                     WHEN lt * nb < rem * 16777216 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_sampled
 FROM marked GROUP BY lang ORDER BY lang
 """)
 def dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,12 +1145,20 @@ def dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dsir_importance_weights estimates the weights; this query
     executes the resampling): accept each doc with probability
     min(1, mean_bucket_weight / 1e6), evaluated ENTIRELY in BIGINTs —
-    accept iff k * n_bigrams * 1e6 < total_w * 2^24 where k is the
-    24-bit md5 prefix (the exact dyadic uniform, cross-multiplied so
-    no division or float ever crosses engines; bounds: k<2^24,
-    n_bigrams<10^3, w≤10^6 keep every product under 2^63). Docs with
-    <2 tokens carry no bigram weight and don't participate — pinned
-    identically by the inner join on both engines.
+    accept iff k * n * 1e6 < W * 2^24 where k is the 24-bit md5
+    prefix (the exact dyadic uniform), n = n_bigrams, W = total_w.
+    The naive cross-multiplication overflows int64 once n ≳ 5.5e5
+    (ADVICE r03), so both engines evaluate the EXACT algebraic split
+    W = a*n + r (a = W DIV n, r = W MOD n, both engines floor on
+    positives): with L = k*1e6 - a*2^24,
+      L < 0        ⇒ accept   (|L| < 1.7e13 — no product needed)
+      L ≥ 2^24     ⇒ reject   (L*n ≥ 2^24*n > r*2^24 since r < n)
+      else accept iff L*n < r*2^24   (both sides < 2^24 * n: safe
+                                      for any n < 2^38 tokens/doc).
+    Bit-identical to the naive form wherever that form is defined,
+    and defined everywhere. Docs with <2 tokens carry no bigram
+    weight and don't participate — pinned identically by the inner
+    join on both engines.
 
     Scale: same two passes as the weight estimate (pass 1 on a hash
     sample at 100 TB); sampling itself is a broadcast-join predicate —
@@ -1173,12 +1185,17 @@ def dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = sum((F.instr(F.lit("0123456789abcdef"),
                      F.substring(m, i + 1, 1)) - 1) * (16 ** i)
             for i in range(6)).cast("long")
+    lt = (F.col("k") * 1000000
+          - F.expr("total_w DIV n_bigrams") * 16777216)
+    rem = F.col("total_w") % F.col("n_bigrams")
     marked = (d.select("doc_id", "lang", k.alias("k"))
               .join(per_doc, "doc_id")
               .withColumn("kept",
-                          (F.col("k") * F.col("n_bigrams") * 1000000
-                           < F.col("total_w") * 16777216)
-                          .cast("long")))
+                          F.when(lt < 0, F.lit(1))
+                          .when(lt >= 16777216, F.lit(0))
+                          .when(lt * F.col("n_bigrams")
+                                < rem * 16777216, F.lit(1))
+                          .otherwise(F.lit(0)).cast("long")))
     return (marked.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("kept").cast("long").alias("n_sampled"))

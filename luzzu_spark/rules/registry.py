@@ -156,7 +156,10 @@ def sql_rule(name: str, score_sql: str, fire_when_sql: str,
         name=name, deps=tuple(deps),
         score=lambda: F.expr(score_sql),
         fires=lambda _c: F.expr(
-            fire_when_sql.format(score=f"score_{name}")),
+            # plain substring replace, NOT str.format: rule SQL may
+            # legitimately contain braces (regex quantifiers in rlike,
+            # map literals) that .format would choke on (ADVICE r03)
+            fire_when_sql.replace("{score}", f"score_{name}")),
         description=description or f"user SQL rule: {score_sql}")
 
 

@@ -161,8 +161,12 @@ def enrich_with_static(stream_df: DataFrame, dim: DataFrame,
     batch. The 100 TB shape: a slowly-changing reference table
     (source reputation, host metadata) enriches the live crawl stream
     without any stream-side buffering. Same builder runs in batch for
-    the parity twin (tests/test_streaming.py)."""
-    return stream_df.join(F.broadcast(dim), key)
+    the parity twin (tests/test_streaming.py).
+
+    LEFT join (ADVICE r03): events whose key is missing from the
+    dimension pass through with NULL enrichment columns instead of
+    silently vanishing — enrichment must never act as a filter."""
+    return stream_df.join(F.broadcast(dim), key, "left")
 
 
 def stateful_user_totals(events: DataFrame,

@@ -69,9 +69,13 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--dedup-spans", action="store_true",
                    help="excise cross-document duplicated token "
                         "ranges (Lee et al. exact-substring removal) "
-                        "after near-dup dedup; fully-duplicated docs "
-                        "empty out and fall to the min-chars rule on "
-                        "the next run")
+                        "after near-dup dedup; docs that LOSE a range "
+                        "are rebuilt as a single-space token rejoin "
+                        "(their original whitespace/newlines are not "
+                        "reconstructable around the cut) — untouched "
+                        "docs keep their text verbatim; "
+                        "fully-duplicated docs empty out and fall to "
+                        "the min-chars rule on the next run")
     p.add_argument("--survivor-policy", choices=["first", "quality"],
                    default="first",
                    help="near-dup survivor: 'first' keeps the lowest "

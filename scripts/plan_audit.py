@@ -32,6 +32,50 @@ _TEXT_KEY = re.compile(
     r"^(text|span|gram|html|toks|tokens|raw|cleaned|spans)#\d+$")
 
 
+# ---------------------------------------------------------------------
+# Driver-materialization audit (VERDICT r03 item 3): every .collect()
+# / .toPandas() in the library must be provably BOUNDED — constant or
+# capped cardinality, never corpus-shaped. New call sites fail the
+# audit (and tests/test_plans.py) until allow-listed here with the
+# bound that justifies them.
+# ---------------------------------------------------------------------
+_DRIVER_MAT_ALLOWED = {
+    # (file, line-substring): why it is bounded
+    ("luzzu_spark/pq.py", "q.select(\"list_id\").distinct().collect()"):
+        "≤ nprobe×n_queries ids — scan-pruning hint, not data",
+    ("luzzu_spark/ivf.py", "q.select(\"list_id\").distinct().collect()"):
+        "≤ nprobe×n_queries ids — scan-pruning hint, not data",
+    ("luzzu_spark/ivf.py", ".limit(max_train).collect()"):
+        "k-means training sample hard-capped at max_train rows",
+    ("luzzu_spark/distill.py", "gram_frame(feats).collect()"):
+        "Gram matrix ≤ 256² rows by construction",
+    ("luzzu_spark/distill.py", "xty_frame(feats).collect()"):
+        "XtY vector ≤ 256 rows by construction",
+}
+
+
+def driver_materialization_hits(repo: str = REPO) -> list[str]:
+    """Unallowed .collect()/.toPandas() call sites in library code."""
+    hits = []
+    lib = os.path.join(repo, "luzzu_spark")
+    for root, _dirs, files in os.walk(lib):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, repo)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if ".collect()" not in line and \
+                            ".toPandas()" not in line:
+                        continue
+                    if any(rel == af and sub in line
+                           for (af, sub) in _DRIVER_MAT_ALLOWED):
+                        continue
+                    hits.append(f"{rel}:{i}: {line.strip()[:80]}")
+    return hits
+
+
 def _split_top_level(s: str) -> list[str]:
     parts, depth, cur = [], 0, []
     for ch in s:
@@ -129,8 +173,15 @@ def audit(sf_dir: str = "/root/testdata/sf0.001") -> str:
             lines.append(
                 f"| {name} | {c['xchg']} | {c['bhj']} | {c['smj']} "
                 f"| {c['arrow']} | {c['sort']} | {bad} |")
+    mat = driver_materialization_hits()
     lines += ["",
-              f"Flagged queries: {flagged or 'none'}."]
+              f"Flagged queries: {flagged or 'none'}.",
+              "",
+              "Driver-materialization audit (unallowed .collect()/"
+              ".toPandas() in luzzu_spark/): "
+              + (("FLAGGED: " + "; ".join(mat)) if mat else "none — "
+                 "every call site is allow-listed with its bound "
+                 "(scripts/plan_audit.py:_DRIVER_MAT_ALLOWED).")]
     return "\n".join(lines) + "\n"
 
 

@@ -625,8 +625,9 @@ def test_cluster_survivors_by_quality(spark):
 def test_remove_dup_spans_excises_shared_block(spark):
     """Lee et al. removal semantics: a 25-token block shared by two
     docs (inside different unique contexts) is excised from BOTH;
-    unrelated docs pass through canonically rejoined; a fully
-    duplicated pair comes back EMPTY (not original text)."""
+    untouched docs keep their ORIGINAL text byte-for-byte (newlines
+    and spacing intact — ADVICE r03); a fully duplicated pair comes
+    back EMPTY (not original text)."""
     shared = " ".join(f"s{i}" for i in range(25))
     pa = " ".join(f"a{i}" for i in range(30))
     sa = " ".join(f"z{i}" for i in range(30))
@@ -634,9 +635,11 @@ def test_remove_dup_spans_excises_shared_block(spark):
     sb = " ".join(f"y{i}" for i in range(30))
     uniq = " ".join(f"u{i}" for i in range(40))
     twin = " ".join(f"t{i}" for i in range(40))
+    multiline = ("line one.\nline two has\t tabs and  double spaces\n"
+                 + " ".join(f"m{i}" for i in range(25)))
     docs = spark.createDataFrame(
         [(1, f"{pa} {shared} {sa}"), (2, f"{pb} {shared} {sb}"),
-         (3, uniq), (4, twin), (5, twin)],
+         (3, uniq), (4, twin), (5, twin), (6, multiline)],
         "doc_id long, text string")
     got = {r["doc_id"]: r["text"]
            for r in dedup.remove_dup_spans(docs).collect()}
@@ -644,6 +647,7 @@ def test_remove_dup_spans_excises_shared_block(spark):
     assert got[2] == f"{pb} {sb}"
     assert got[3] == uniq
     assert got[4] == "" and got[5] == ""
+    assert got[6] == multiline  # verbatim, not a canonical rejoin
 
 
 def test_remove_dup_spans_matches_python_reference(spark):

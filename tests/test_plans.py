@@ -394,3 +394,14 @@ def test_corpus_sink_prunes_lang_partitions(spark, tmp_path):
              reader.select(F.input_file_name().alias("f")).collect()}
     assert files and all("lang=en" in f for f in files), files
 
+
+
+def test_no_unbounded_driver_materialization():
+    """Source-level audit (VERDICT r03): every .collect()/.toPandas()
+    in luzzu_spark/ must be allow-listed in plan_audit with the bound
+    that justifies it (centroid samples, ≤256² Gram rows, nprobe ids).
+    A new corpus-shaped driver materialization fails here before it
+    ever reaches a cluster."""
+    import scripts.plan_audit as pa
+    hits = pa.driver_materialization_hits()
+    assert hits == [], hits

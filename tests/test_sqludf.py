@@ -132,6 +132,30 @@ def test_sql_declared_rule_plugs_into_pipeline(spark):
     assert "digit_heavy" not in base[2]["rule_scores"]
 
 
+def test_sql_rule_tolerates_literal_braces(spark):
+    """Literal braces in the rule SQL (regex quantifiers in rlike)
+    must survive {score} substitution — ADVICE r03: str.format raised
+    KeyError on any brace that wasn't the placeholder."""
+    from luzzu_spark.fixtures import as_webpages
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.rules.registry import extended_registry, sql_rule
+
+    docs = spark.createDataFrame(
+        [(1, "AAAAAAA shouting run here", "en", "srcA", 25),
+         (2, "quiet lowercase text", "en", "srcA", 20)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    rule = sql_rule(
+        "shouty",
+        "coalesce(CAST(text rlike '[A-Z]{5,}' AS DOUBLE), 0.0)",
+        "{score} > 0.5 AND coalesce(text, '') NOT rlike 'z{99}'")
+    pipe = QualityPipeline(registry=extended_registry(rule))
+    got = {r["doc_id"]: r for r in
+           pipe.assess(as_webpages(docs)).collect()}
+    assert "shouty" in got[1]["drop_reasons"]
+    assert "shouty" not in got[2]["drop_reasons"]
+
+
 def test_cli_sql_rule_flag(spark, tmp_path):
     """run_filter --sql-rule: a SQL-declared rule from the production
     entry point drops its targets end-to-end."""

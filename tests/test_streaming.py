@@ -325,15 +325,16 @@ def test_stream_neardup_index_across_epochs(spark, tmp_path_factory):
 def test_stream_static_join_matches_batch(spark, tmp_path_factory):
     """Stream-STATIC enrichment join: each micro-batch broadcasts the
     static dimension (no state, no watermark); results must equal the
-    identical batch join row-for-row."""
+    identical batch join row-for-row. The dim deliberately OMITS one
+    event type ('error'): enrichment is a LEFT join (ADVICE r03), so
+    those events pass through with NULL weight instead of vanishing."""
     path = str(tmp_path_factory.mktemp("sstatic") / "events")
     events = load_table(spark, SF, "events")
     events.repartition(4).write.mode("overwrite").parquet(path)
     batch = spark.read.parquet(path)
 
     dim = spark.createDataFrame(
-        [("view", 1), ("click", 3), ("purchase", 10),
-         ("scroll", 0), ("share", 5)],
+        [("view", 1), ("click", 3), ("purchase", 10), ("signup", 0)],
         "event_type string, weight int")
 
     stream = (spark.readStream.schema(batch.schema)
@@ -345,6 +346,9 @@ def test_stream_static_join_matches_batch(spark, tmp_path_factory):
 
     want = streaming.enrich_with_static(batch, dim) \
         .select("event_id", "event_type", "weight")
-    assert got.count() == want.count() > 0
+    assert got.count() == want.count() == batch.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+    unmatched = got.where(F.col("event_type") == "error")
+    assert unmatched.count() > 0
+    assert unmatched.where(F.col("weight").isNotNull()).count() == 0
