@@ -76,7 +76,8 @@ _SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 # ---- vectorized signature kernels (one Arrow batch at a time) -----------
 
-def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N):
+def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
+                      space_split: bool = False):
     """All shingle hashes of a batch, flattened, plus per-doc offsets.
 
     tokens of every doc are flattened into ONE object array → pandas
@@ -87,10 +88,21 @@ def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N):
     shape as rules/repetition.py:dup_frac_batch, but content-hashed so
     two identical shingles hash identically in different batches.
 
+    ``space_split=True`` tokenizes exactly like the catalog's
+    Catalyst form ``filter(split(trim(text), ' '), x -> x != '')`` —
+    literal single-space separators, empties dropped, newlines/tabs
+    KEPT inside tokens; the default splits on any whitespace run
+    (Python str.split — ≡ Spark split(trim, '\\s+') for ASCII text,
+    the same assumption rules/perplexity.py documents).
+
     Returns (h, starts, m_per_doc): h = valid shingle hashes
     (concatenated per doc), starts = offset of each doc's first shingle
     in h, m_per_doc = shingles per doc (0 for short docs)."""
-    token_lists = texts.fillna("").str.split()
+    if space_split:
+        token_lists = texts.fillna("").map(
+            lambda s: [t for t in s.strip(" ").split(" ") if t])
+    else:
+        token_lists = texts.fillna("").str.split()
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     n_docs = len(texts)
     m_per_doc = np.maximum(lens - n + 1, 0)
@@ -169,6 +181,42 @@ def shingle_set_batch(texts: pd.Series) -> pd.Series:
             seg = hi[starts[d]:starts[d] + m[d]]
             out.append(np.unique(seg).tolist())
     return pd.Series(out, index=texts.index, dtype=object)
+
+
+def span_hash_batch(texts: pd.Series, n: int = 20,
+                    space_split: bool = True) -> pd.Series:
+    """Per doc: the n-token SLIDING window hashes in position order
+    (int64 list; empty when the doc has < n tokens) — the vectorized
+    replacement for the Catalyst form
+    ``transform(sequence(1, size(toks)-n+1),
+                i -> md5(array_join(slice(toks, i, n), ' ')))``,
+    which is a CodegenFallback HOF chain (interpreted, boxed, one md5
+    string build per position — the single heaviest stage of the r03
+    bench at 6.2 s/sf0.1). Hashes are content-based and
+    batch/executor/run-stable (pd.util.hash_array fixed-key siphash +
+    uint64 rolling polynomial), so they serve as cross-doc join keys
+    exactly like the md5 strings did — 8 bytes instead of 32 on every
+    shuffle. Collision trade (documented, not hidden): 64-bit keys
+    collide ~(W²/2^65) over W windows — at 10^12 windows that is
+    O(10^4) falsely-flagged spans, a 1e-8 fraction; acceptable for
+    dedup, where a false flag costs one excised span, not
+    correctness of the corpus."""
+    h, starts, m = _shingle_segments(texts, n, space_split)
+    hi = h.view(np.int64)
+    parts = np.split(hi, np.cumsum(m)[:-1]) if len(m) else []
+    return pd.Series([p.tolist() for p in parts], index=texts.index,
+                     dtype=object)
+
+
+def span_hash_udf(n: int = 20, space_split: bool = True):
+    """Arrow UDF builder for span_hash_batch (Series→Series so it can
+    fuse with other plugin stages; marked nondeterministic ONLY to
+    block Catalyst from duplicating the stage through pushed filters —
+    CLAUDE.md rule 7 — the output is deterministic in fact)."""
+    @pandas_udf(ArrayType(LongType()))
+    def f(texts: pd.Series) -> pd.Series:
+        return span_hash_batch(texts, n, space_split)
+    return f.asNondeterministic()
 
 
 @pandas_udf(ArrayType(LongType()))
@@ -661,18 +709,22 @@ def remove_dup_spans(docs: DataFrame, n: int = 20,
     The catalog twin (queries_text.dedup_dup_span_removal) hash-checks
     this exact semantics against a DuckDB replay per document.
 
-    Scale shape: spans shuffle as (id, pos, md5) — fixed width; the
+    Scale shape: spans shuffle as (id, pos, 64-bit hash) — fixed
+    width, 8 bytes/key; the
     token-position explode runs ONLY over docs containing a range
     (left-semi); everything else is one map-side rejoin."""
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda x: x != "")
     d = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    digests = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")))
-    occ = (d.where(F.size("_toks") >= n)
-           .select("_id", F.posexplode(digests).alias("pos", "h"))
-           .select("_id", (F.col("pos") + 1).alias("s"), "h"))
+    # flagging pass: one vectorized Arrow stage over the raw text
+    # (whitespace tokenization ≡ the \s+ split above for ASCII text —
+    # the same assumption rules/perplexity.py documents); replaces the
+    # interpreted per-position md5 HOF (VERDICT r03 item 4)
+    occ = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(span_hash_udf(n, space_split=False)(
+            F.col(text_col))).alias("pos", "h"))
+        .select("_id", (F.col("pos") + 1).alias("s"), "h"))
     w_ord = Window.partitionBy("h").orderBy("_id")
     w_all = Window.partitionBy("h")
     fl = (occ.withColumn("dr", F.dense_rank().over(w_ord))

@@ -802,31 +802,36 @@ def dedup_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     total duplicated tokens (union of ranges), token count — all
     BIGINT-exact; only docs containing ≥1 duplicated span appear.
 
-    Scale shape: the exploded frame carries (doc_id, pos, md5 digest)
-    only — fixed-width keys, no span text crosses a shuffle (the
+    Scale shape: the exploded frame carries (doc_id, pos, 64-bit span
+    hash) only — fixed-width keys, no span text crosses a shuffle (the
     repo's TEXT-KEY rule); cross-doc counting is the same
     dense_rank/max window as dedup_cross_doc_spans (one exchange,
     spillable); the island merge is two windows PARTITIONED BY doc_id
     over flagged positions only — a vanishing fraction of the corpus
     at real dup rates. Sliding explode is ~20× the aligned-chunk row
-    count: acceptable because rows are (long, int, 32B) triples, and
+    count: acceptable because rows are (long, int, long) triples, and
     at 100 TB the pass composes with a pre-filter on candidate docs
     (e.g. MinHash-confirmed near-dup members) when the full corpus
-    sweep is too hot."""
+    sweep is too hot. Span hashes come from ONE vectorized Arrow pass
+    (dedup.span_hash_batch) — the per-position md5 HOF it replaced was
+    the heaviest single stage of the r03 bench (VERDICT r03 item 4);
+    the oracle keeps md5 (its flags depend only on span equality, and
+    both hash families partition spans identically absent 64-bit
+    collisions — see span_hash_batch's collision budget)."""
     from pyspark.sql import Window
 
+    from luzzu_spark.dedup import span_hash_udf
+
     n = 20
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir)
+    sized = d.select(
         "doc_id",
-        F.filter(F.split(F.trim(F.col("text")), " "),
-                 lambda x: x != "").alias("toks"))
-    sized = d.select("doc_id", "toks",
-                     F.size("toks").cast("long").alias("n_toks"))
-    digests = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-        lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")))
-    occ = (sized.where(F.col("n_toks") >= n)
-           .select("doc_id", F.posexplode(digests).alias("pos", "h"))
+        F.size(F.filter(F.split(F.trim(F.col("text")), " "),
+                        lambda x: x != ""))
+        .cast("long").alias("n_toks"))
+    occ = (d.select("doc_id",
+                    F.posexplode(span_hash_udf(n)(F.col("text")))
+                    .alias("pos", "h"))
            .select("doc_id", (F.col("pos") + 1).alias("s"), "h"))
     w_ord = Window.partitionBy("h").orderBy("doc_id")
     w_all = Window.partitionBy("h")
@@ -923,15 +928,18 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     n = 20
+    from luzzu_spark.dedup import span_hash_udf
     d = _docs(spark, sf_dir).select(
         "doc_id", "text",
         F.filter(F.split(F.trim(F.col("text")), " "),
                  lambda x: x != "").alias("toks"))
-    digests = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-        lambda i: F.md5(F.array_join(F.slice("toks", i, n), " ")))
-    occ = (d.where(F.size("toks") >= n)
-           .select("doc_id", F.posexplode(digests).alias("pos", "h"))
+    # flagging pass: one vectorized Arrow stage (dedup.span_hash_batch)
+    # instead of the per-position md5 HOF — same tokenization, same
+    # flags (64-bit content hashes partition spans like md5 does)
+    occ = (_docs(spark, sf_dir)
+           .select("doc_id",
+                   F.posexplode(span_hash_udf(n)(F.col("text")))
+                   .alias("pos", "h"))
            .select("doc_id", (F.col("pos") + 1).alias("s"), "h"))
     w_ord = Window.partitionBy("h").orderBy("doc_id")
     w_all = Window.partitionBy("h")
