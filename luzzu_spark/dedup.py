@@ -456,7 +456,8 @@ def commit_minhash_index(docs: DataFrame, sigs_table: str,
                          bands_table: str, path_prefix: str,
                          id_col: str = "doc_id",
                          bands: int = LSH_BANDS, n_buckets: int = 16,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         epoch_id: int | None = None) -> None:
     """Persist a run's MinHash index for cross-run NEAR-dup dedup —
     the approximate twin of the exact seen-set (seen_anti_join):
     day 2 must drop documents that are near-duplicates of anything
@@ -473,24 +474,80 @@ def commit_minhash_index(docs: DataFrame, sigs_table: str,
     index, growing the seen-set run over run (the tables keep their
     day-1 location — path_prefix is only read when creating). Storage:
     (int, long) band keys ×bands plus 32 longs per doc — the text
-    never persists here and never moves at search time."""
+    never persists here and never moves at search time.
+
+    Replay idempotence (VERDICT r03 item 5): both tables carry an
+    ``epoch`` partition column. When the caller supplies ``epoch_id``
+    (the streaming sink does — foreachBatch replays a failed
+    micro-batch under the SAME epoch id), appends go through
+    insertInto with DYNAMIC partition overwrite, so a replayed epoch
+    rewrites its own ``epoch=<id>`` directory instead of appending
+    duplicate signature rows — the index cannot grow under replay.
+    Callers without a stable epoch (the batch CLI's day-N appends)
+    leave ``epoch_id=None`` → plain append into the ``epoch=-1``
+    partition, the pre-r04 at-least-once semantics."""
     sigs = minhash_signatures(docs, id_col)
-    bw = band_rows(sigs, id_col, bands).write.mode(mode)
-    sw = sigs.write.mode(mode)
+    if mode == "append" and epoch_id is not None:
+        # the docs lineage reads these same tables (the incremental
+        # filter), and Spark refuses to overwrite a table it is
+        # reading from — checkpoint the (batch-sized) signature frame
+        # to cut the lineage; this also runs the Arrow signature pass
+        # exactly once for the two table writes below
+        sigs = sigs.localCheckpoint(eager=True)
+    epoch = F.lit(-1 if epoch_id is None else int(epoch_id)) \
+        .cast("long").alias("epoch")
+    band_df = band_rows(sigs, id_col, bands).select(
+        id_col, "band", "bh", epoch)
+    sig_df = sigs.select(id_col, "sig", epoch)
     if mode != "append":
-        bw = bw.option("path", f"{path_prefix}_bands")
-        sw = sw.option("path", f"{path_prefix}_sigs")
-    (bw.bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
-     .saveAsTable(bands_table))
-    (sw.bucketBy(n_buckets, id_col).sortBy(id_col)
-     .saveAsTable(sigs_table))
+        (band_df.write.mode(mode)
+         .option("path", f"{path_prefix}_bands")
+         .partitionBy("epoch")
+         .bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+         .saveAsTable(bands_table))
+        (sig_df.write.mode(mode)
+         .option("path", f"{path_prefix}_sigs")
+         .partitionBy("epoch")
+         .bucketBy(n_buckets, id_col).sortBy(id_col)
+         .saveAsTable(sigs_table))
+    elif epoch_id is not None:
+        # idempotent append: overwrite ONLY this epoch's partition.
+        # insertInto ignores per-write options, so set the session
+        # conf for the two writes and restore it after (static mode
+        # would silently wipe every other epoch's partitions).
+        spark = docs.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            for df, table in ((band_df, bands_table),
+                              (sig_df, sigs_table)):
+                df.write.mode("overwrite").insertInto(table)
+                # the overwrite REPLACES this epoch's files — drop the
+                # cached file listing so later epochs (same session)
+                # don't chase deleted part files
+                spark.catalog.refreshTable(table)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        (band_df.write.mode("append").partitionBy("epoch")
+         .bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+         .saveAsTable(bands_table))
+        (sig_df.write.mode("append").partitionBy("epoch")
+         .bucketBy(n_buckets, id_col).sortBy(id_col)
+         .saveAsTable(sigs_table))
 
 
 def incremental_minhash_pairs(spark, new_docs: DataFrame,
                               sigs_table: str, bands_table: str,
                               threshold: float = 0.5,
                               id_col: str = "doc_id",
-                              bands: int = LSH_BANDS) -> DataFrame:
+                              bands: int = LSH_BANDS,
+                              exclude_epoch: int | None = None
+                              ) -> DataFrame:
     """(new_id, old_id, est_jaccard): today's documents that are
     near-duplicates of the COMMITTED corpus index — the incremental
     path that makes daily near-dup dedup O(batch), not O(corpus).
@@ -500,19 +557,33 @@ def incremental_minhash_pairs(spark, new_docs: DataFrame,
     colliding pairs collapse by (new_id, old_id); committed signatures
     attach via the id-bucketed sigs table (again exchange-free on the
     committed side); the interpreted zip_with runs only over surviving
-    candidates — the same discipline as lsh_candidate_pairs."""
+    candidates — the same discipline as lsh_candidate_pairs.
+
+    ``exclude_epoch`` drops the committed rows of ONE epoch partition
+    (partition-pruned, so the exclusion costs a directory listing, not
+    a scan): a REPLAYED foreachBatch epoch must not compare its input
+    against the signatures its own failed attempt already committed —
+    without this, every replayed doc self-matches at est_jaccard 1.0
+    and the whole batch silently vanishes."""
+    committed_bands = spark.table(bands_table)
+    committed_sigs = spark.table(sigs_table)
+    if exclude_epoch is not None:
+        committed_bands = committed_bands.where(
+            F.col("epoch") != int(exclude_epoch))
+        committed_sigs = committed_sigs.where(
+            F.col("epoch") != int(exclude_epoch))
     new_sigs = minhash_signatures(new_docs, id_col).repartition(
         F.col(id_col))
     cand = (band_rows(new_sigs, id_col, bands)
             .withColumnRenamed(id_col, "new_id")
-            .join(spark.table(bands_table)
+            .join(committed_bands
                   .withColumnRenamed(id_col, "old_id"), ["band", "bh"])
             .where(F.col("new_id") != F.col("old_id"))
             .groupBy("new_id", "old_id")
             .agg(F.count(F.lit(1)).alias("n_band_matches")))
     sig_new = new_sigs.select(F.col(id_col).alias("new_id"),
                               F.col("sig").alias("sig_a"))
-    sig_old = (spark.table(sigs_table)
+    sig_old = (committed_sigs
                .select(F.col(id_col).alias("old_id"),
                        F.col("sig").alias("sig_b")))
     matches = F.size(F.filter(
@@ -530,15 +601,18 @@ def incremental_near_dup_filter(spark, new_docs: DataFrame,
                                 sigs_table: str, bands_table: str,
                                 threshold: float = 0.5,
                                 id_col: str = "doc_id",
-                                bands: int = LSH_BANDS) -> DataFrame:
+                                bands: int = LSH_BANDS,
+                                exclude_epoch: int | None = None
+                                ) -> DataFrame:
     """Day-N batch filter: drop new docs near-duplicating the
     committed index, then prune near-dup clusters WITHIN the batch
     (first-wins, via the exact-connected-components machinery). The
     survivors are what commit_minhash_index(mode='append') should add
-    to the index for day N+1."""
+    to the index for day N+1. ``exclude_epoch`` — see
+    incremental_minhash_pairs (replay self-match guard)."""
     vs_committed = incremental_minhash_pairs(
         spark, new_docs, sigs_table, bands_table, threshold,
-        id_col, bands)
+        id_col, bands, exclude_epoch=exclude_epoch)
     fresh = new_docs.join(
         vs_committed.select(F.col("new_id").alias(id_col)).distinct(),
         id_col, "left_anti")

@@ -272,13 +272,14 @@ def write_stream_filtered_neardup(pages: DataFrame, out_path: str,
     the full pipeline, writes epoch-idempotently, and appends its kept
     docs' signatures for the next epoch.
 
-    Delivery semantics: the corpus write is idempotent per epoch
-    (dynamic partition overwrite). The index append is NOT — a
-    replayed epoch re-appends its signature rows — but duplicated
-    index rows are EFFECT-idempotent for dedup: they can only
-    duplicate candidate-pair rows, never change which new_ids match,
-    so keep/drop decisions are unaffected (a compaction pass can
-    de-duplicate the index offline)."""
+    Delivery semantics: BOTH writes are idempotent per epoch. The
+    corpus write uses dynamic partition overwrite on an epoch column;
+    the index append does the same through
+    commit_minhash_index(epoch_id=...) — a replayed micro-batch
+    rewrites its own ``epoch=<id>`` partition of the sigs/bands
+    tables, so the index row count is invariant under replay
+    (VERDICT r03 item 5; pinned by the replay test in
+    tests/test_streaming.py)."""
     import dataclasses
 
     from luzzu_spark.dedup import (commit_minhash_index,
@@ -294,13 +295,18 @@ def write_stream_filtered_neardup(pages: DataFrame, out_path: str,
         exists = (spark.catalog.tableExists(sigs_t)
                   and spark.catalog.tableExists(bands_t))
         if exists:
+            # exclude_epoch: a replayed epoch must not self-match the
+            # signatures its own failed attempt committed (they sit in
+            # this epoch's partition and get overwritten below anyway)
             batch_df = incremental_near_dup_filter(
-                spark, batch_df, sigs_t, bands_t, threshold=threshold)
+                spark, batch_df, sigs_t, bands_t, threshold=threshold,
+                exclude_epoch=epoch_id)
         kept = pipe.filtered(batch_df)
         write_epoch_idempotent(kept, out_path, epoch_id)
         commit_minhash_index(kept, sigs_t, bands_t, index_path,
                              n_buckets=n_buckets,
-                             mode="append" if exists else "overwrite")
+                             mode="append" if exists else "overwrite",
+                             epoch_id=epoch_id)
 
     return (pages.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
