@@ -23,9 +23,12 @@ pushed Filter on BOTH self-join sides (measured: the expression form
 evaluated the tokenize chain 4× per pair query and dominated the round-1
 bench at 9.97 s; the Arrow form + exchange reuse runs it once).
 
-Determinism: token hashes are content-based (pandas hash_array, fixed
-key — identical across batches/executors/runs); permutation constants
-derive from splitmix64 of the permutation index (no RNG anywhere); every
+Determinism: token hashes are content-based and identical across
+batches/executors/runs — the SIGNATURE family (minhash/simhash/shingle
+sets) uses SQL-replayable modular arithmetic so DuckDB recomputes the
+exact signatures (see the _REPLAY_B block), the SPAN family keeps
+fixed-key siphash (pandas hash_array); permutation constants derive
+from splitmix64 of the permutation index (no RNG anywhere); every
 "first wins" is a min/row_number over explicit (hash, doc_id) order.
 
 Scale notes (10^12 docs): candidate joins are per-bucket (banding IS the
@@ -73,12 +76,77 @@ _HASH_B = [_splitmix64_py(0x5EED + i) % _MERSENNE_P
 SHINGLE_N = 5  # word-shingle width for minhash/simhash
 _SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
 
+# ---------------------------------------------------------------------
+# SQL-replayable shingle-hash family (VERDICT r03 item 6): minhash and
+# simhash signatures must be REPLAYABLE in DuckDB so the driver can
+# hash-check them like docs_langid/docs_perplexity_hist replay their
+# models. pd.util.hash_array (siphash) cannot be expressed in SQL, so
+# the signature path hashes with pure modular arithmetic instead:
+#   token hash  t = Σ_i (codepoint_i + 1) · 131^i  (mod p, p = 2³¹−1,
+#                   first 32 chars — both engines truncate identically)
+#   shingle     h_lo = Σ_k t_{j+k} · C_LO^k (mod p), h_hi likewise
+#                   with C_HI (independent splitmix64-derived bases)
+#   h62 = h_hi·2³¹ + h_lo   — 62-bit shingle value, exact in BIGINT
+# Every product stays under 2⁶² and every sum under 2⁵⁷, so numpy
+# int64, Spark BIGINT and DuckDB BIGINT agree bit-for-bit. The span
+# kernel (span_hash_batch) keeps the faster 64-bit siphash family —
+# span flags never need SQL replay.
+_REPLAY_B = 131
+_REPLAY_LMAX = 32          # chars hashed per token (both engines)
+_C_LO = _splitmix64_py(0xA11CE) % _MERSENNE_P
+_C_HI = _splitmix64_py(0xBEEF) % _MERSENNE_P
+
+
+def _mod_pows(base: int, count: int) -> list[int]:
+    out = [1]
+    for _ in range(count - 1):
+        out.append((out[-1] * base) % _MERSENNE_P)
+    return out
+
+
+_POW1 = np.asarray(_mod_pows(_REPLAY_B, _REPLAY_LMAX), dtype=np.int64)
+_CP_LO = np.asarray(_mod_pows(_C_LO, SHINGLE_N), dtype=np.int64)
+_CP_HI = np.asarray(_mod_pows(_C_HI, SHINGLE_N), dtype=np.int64)
+
+
+def _token_hashes_replayable(flat: np.ndarray) -> np.ndarray:
+    """Per-token polynomial hash (int64 < p), fully vectorized.
+
+    The char-level pass runs over the batch VOCABULARY only
+    (pd.factorize first — one C pass): web-text batches repeat tokens
+    heavily, so hashing uniques and scattering through the codes is
+    ~5-10× cheaper than hashing every occurrence; the DuckDB oracle
+    mirrors this exactly (DISTINCT tok CTE). Within the vocab: one
+    utf-32 decode of the concatenated tokens + one reduceat — no
+    Python loop over tokens."""
+    codes, uniques = pd.factorize(flat, use_na_sentinel=False)
+    toks = list(uniques)
+    joined = "".join(toks)
+    cps = np.frombuffer(joined.encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.int64)
+    tlens = np.fromiter((len(t) for t in toks),
+                        dtype=np.int64, count=len(toks))
+    starts = np.concatenate(([0], np.cumsum(tlens)[:-1]))
+    pos = np.arange(cps.size) - np.repeat(starts, tlens)
+    terms = (cps + 1) * _POW1[np.minimum(pos, _REPLAY_LMAX - 1)]
+    terms[pos >= _REPLAY_LMAX] = 0
+    th_unique = np.add.reduceat(terms, starts) % _MERSENNE_P
+    return th_unique[codes]
+
 
 # ---- vectorized signature kernels (one Arrow batch at a time) -----------
 
 def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
-                      space_split: bool = False):
+                      space_split: bool = False,
+                      replayable: bool = False):
     """All shingle hashes of a batch, flattened, plus per-doc offsets.
+
+    ``replayable=True`` switches the hash family to the SQL-replayable
+    modular-arithmetic scheme (module docstring above _REPLAY_B): the
+    returned values are 62-bit h62 = h_hi·2³¹ + h_lo, reproducible
+    bit-for-bit in DuckDB/Spark SQL — used by the signature kernels so
+    the driver can hash-check minhash/simhash end-to-end. The default
+    keeps the faster 64-bit siphash+polynomial family (span kernel).
 
     tokens of every doc are flattened into ONE object array → pandas
     hash_array (content-based siphash, fixed key — globally consistent
@@ -112,20 +180,33 @@ def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
         return np.zeros(0, dtype=np.uint64), starts, m_per_doc
     flat = np.concatenate(
         [np.asarray(t, dtype=object) for t in token_lists.tolist() if t])
-    th = pd.util.hash_array(flat, categorize=True)  # uint64, content key
-    with np.errstate(over="ignore"):
-        pows = np.cumprod(np.full(n, _SHINGLE_MULT, dtype=np.uint64),
-                          dtype=np.uint64)
+    if replayable:
+        th = _token_hashes_replayable(flat)  # int64 < p
         win = np.lib.stride_tricks.sliding_window_view(th, n)
-        h_all = (win * pows).sum(axis=1, dtype=np.uint64)
+        h_lo = ((win * _CP_LO[:n]) % _MERSENNE_P).sum(axis=1) \
+            % _MERSENNE_P
+        h_hi = ((win * _CP_HI[:n]) % _MERSENNE_P).sum(axis=1) \
+            % _MERSENNE_P
+        h_all = ((h_hi.astype(np.uint64) << np.uint64(31))
+                 | h_lo.astype(np.uint64))
+    else:
+        th = pd.util.hash_array(flat, categorize=True)  # uint64
+        with np.errstate(over="ignore"):
+            pows = np.cumprod(
+                np.full(n, _SHINGLE_MULT, dtype=np.uint64),
+                dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(th, n)
+            h_all = (win * pows).sum(axis=1, dtype=np.uint64)
     doc_idx = np.repeat(np.arange(n_docs), lens)
     valid = doc_idx[: h_all.size] == doc_idx[n - 1:]
     return h_all[valid], starts, m_per_doc
 
 
 def minhash_batch(texts: pd.Series) -> pd.Series:
-    """k minhashes per doc; None for docs with no shingles."""
-    h, starts, m = _shingle_segments(texts)
+    """k minhashes per doc; None for docs with no shingles.
+    Replayable hash family: the driver's DuckDB oracle recomputes
+    these exact signatures (minhash_pairs_oracle_sql)."""
+    h, starts, m = _shingle_segments(texts, replayable=True)
     out: list = [None] * len(texts)
     if h.size == 0:
         return pd.Series(out, index=texts.index, dtype=object)
@@ -148,9 +229,11 @@ def minhash_batch(texts: pd.Series) -> pd.Series:
 
 def simhash_batch(texts: pd.Series) -> pd.Series:
     """63-bit SimHash per doc (bit b = majority of bit b over shingle
-    hashes; bit 63 excluded so the value stays positive); None for
-    docs with no shingles."""
-    h, starts, m = _shingle_segments(texts)
+    hashes; bit 63 excluded so the value stays positive — and bit 62
+    is always 0 under the 62-bit replayable family); None for docs
+    with no shingles. Replayable: simhash_pairs_oracle_sql recomputes
+    these exact values in DuckDB."""
+    h, starts, m = _shingle_segments(texts, replayable=True)
     out = np.zeros(len(texts), dtype=np.int64)
     if h.size:
         nz = m > 0
@@ -170,8 +253,9 @@ def simhash_batch(texts: pd.Series) -> pd.Series:
 
 def shingle_set_batch(texts: pd.Series) -> pd.Series:
     """Distinct shingle hashes per doc (int64 list; empty for short
-    docs) — the exact-Jaccard verify input."""
-    h, starts, m = _shingle_segments(texts)
+    docs) — the exact-Jaccard verify input (replayable family, same
+    values the signature oracles derive)."""
+    h, starts, m = _shingle_segments(texts, replayable=True)
     out: list = []
     hi = h.view(np.int64)
     for d in range(len(texts)):
@@ -837,3 +921,149 @@ def remove_dup_spans(docs: DataFrame, n: int = 20,
             .withColumn(text_col,
                         F.coalesce("_cleaned", F.col(text_col)))
             .drop("_id", "_cleaned"))
+
+
+# ---------------------------------------------------------------------
+# DuckDB oracle replays of the signature computations (VERDICT r03
+# item 6). These generate the EXACT signatures the Arrow kernels above
+# produce — same constants, same modular arithmetic, same tokenizer —
+# so the driver's hash-compare verifies the production minhash/simhash
+# end-to-end, the way docs_langid/docs_perplexity_hist replay their
+# models. Generated from the module constants: one source of truth.
+# ---------------------------------------------------------------------
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(int(v)) for v in vals) + "]"
+
+
+def _replayable_sig_ctes(n: int = SHINGLE_N) -> str:
+    """WITH-body computing per-doc shingle values: CTE ``x`` holds
+    (doc_id, x, h62) per shingle in position order."""
+    p = _MERSENNE_P
+    pow1 = _sql_list(_POW1)
+    cplo = _sql_list(_mod_pows(_C_LO, n))
+    cphi = _sql_list(_mod_pows(_C_HI, n))
+    leads = ",\n         ".join(
+        f"lead(th, {k}) OVER w AS t{k}" for k in range(1, n))
+    lo_terms = " + ".join(f"(t{k} * ({cplo})[{k + 1}]) % {p}"
+                          for k in range(n))
+    hi_terms = " + ".join(f"(t{k} * ({cphi})[{k + 1}]) % {p}"
+                          for k in range(n))
+    return f"""
+d AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM d),
+vocab AS (SELECT tok,
+   CAST(list_sum(list_transform(
+        range(1, least(length(tok), {_REPLAY_LMAX}) + 1),
+        i -> (CAST(ord(substr(tok, i, 1)) AS BIGINT) + 1)
+             * ({pow1})[i])) % {p} AS BIGINT) AS th
+   FROM (SELECT DISTINCT tok FROM tok)),
+th AS (SELECT doc_id, pos, th FROM tok JOIN vocab USING (tok)),
+shg AS (SELECT doc_id, pos,
+   CAST(({lo_terms}) % {p} AS BIGINT) AS h_lo,
+   CAST(({hi_terms}) % {p} AS BIGINT) AS h_hi
+ FROM (SELECT doc_id, pos, th AS t0,
+         {leads}
+       FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+ WHERE t{n - 1} IS NOT NULL),
+x AS (SELECT doc_id, (h_lo + h_hi) % {p} AS x,
+             h_hi * 2147483648 + h_lo AS h62
+      FROM shg)"""
+
+
+def _sigarr_cte() -> str:
+    """CTE ``sigarr``: (doc_id, sig list of MINHASH_K mins) — the
+    exact minhash_batch output."""
+    p = _MERSENNE_P
+    return f""",
+sig AS (SELECT doc_id, k,
+               MIN((({_sql_list(_HASH_A)})[k + 1] * x
+                   + ({_sql_list(_HASH_B)})[k + 1]) % {p}) AS v
+        FROM x CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS k)
+        GROUP BY doc_id, k),
+sigarr AS (SELECT doc_id, list(v ORDER BY k) AS sig
+           FROM sig GROUP BY doc_id)"""
+
+
+def _simhash_cte() -> str:
+    """CTE ``sim``: (doc_id, simhash) — the exact simhash_batch
+    output (63-bit majority vote; bit 62 is always 0 under h62)."""
+    pow2 = _sql_list(1 << b for b in range(63))
+    return f""",
+bits AS (SELECT doc_id, b,
+           CASE WHEN SUM((h62 // ({pow2})[b + 1]) % 2) * 2 > COUNT(*)
+                THEN 1 ELSE 0 END AS bit
+         FROM x CROSS JOIN (SELECT unnest(range(63)) AS b)
+         GROUP BY doc_id, b),
+sim AS (SELECT doc_id, CAST(SUM(bit * ({pow2})[b + 1]) AS BIGINT)
+               AS simhash
+        FROM bits GROUP BY doc_id)"""
+
+
+def minhash_pairs_oracle_sql(threshold: float = 0.5,
+                             bands: int = LSH_BANDS) -> str:
+    """Full DuckDB replay of minhash_dedup_pairs: signatures → LSH
+    banding → candidate pairs → est_jaccard filter. Banding replays
+    WITHOUT xxhash64 (not SQL-expressible): two docs share a band iff
+    their band's signature slice is IDENTICAL, so the join key is the
+    slice itself — same pair set as the hash of the slice, minus
+    xxhash collisions (which would only ADD candidates; they still
+    need est_jaccard ≥ threshold to surface)."""
+    rows = MINHASH_K // bands
+    return f"""
+WITH {_replayable_sig_ctes()}{_sigarr_cte()},
+bandrows AS (SELECT doc_id, b AS band,
+                    array_to_string(sig[{rows} * b + 1 :
+                                        {rows} * b + {rows}], ',') AS bs
+             FROM sigarr CROSS JOIN
+                  (SELECT unnest(range({bands})) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM bandrows a JOIN bandrows bb
+              ON a.band = bb.band AND a.bs = bb.bs
+              AND a.doc_id < bb.doc_id)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+                            pr -> pr[1] = pr[2])) AS DOUBLE)
+       / {MINHASH_K} AS est_jaccard
+FROM cand c JOIN sigarr sa ON sa.doc_id = c.id_a
+            JOIN sigarr sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+                           pr -> pr[1] = pr[2])) AS DOUBLE)
+      / {MINHASH_K} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_pairs_oracle_sql() -> str:
+    """DuckDB replay of simhash_bucket_pairs (identical-signature
+    collisions): signatures via the bit-majority replay, pairs via
+    equality self-join."""
+    return f"""
+WITH {_replayable_sig_ctes()}{_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+FROM sim a JOIN sim b ON a.simhash = b.simhash
+                      AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_near_oracle_sql(max_hamming: int = 3) -> str:
+    """EXHAUSTIVE DuckDB twin of simhash_near_pairs: every pair within
+    Hamming ≤ k, by brute force over all doc pairs — deliberately
+    stronger than replaying the pigeonhole blocking, so a driver match
+    also certifies the blocking's completeness (recall 1.0), not just
+    the signature math. Quadratic by design: an ORACLE at fixture
+    scale, never a production plan."""
+    return f"""
+WITH {_replayable_sig_ctes()}{_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
