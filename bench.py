@@ -124,6 +124,50 @@ def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
     return min(trial(), trial())
 
 
+def _md5_rate(seconds: float = 0.25) -> float:
+    """Single-process md5 throughput (Mhash/s) — pure CPU, cache
+    resident, no Spark: a fixed-work yardstick for the box itself."""
+    import hashlib
+    payload = b"x" * 64
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        h = hashlib.md5()
+        for _ in range(5000):
+            h.update(payload)
+        n += 5000
+    return n / (time.perf_counter() - t0) / 1e6
+
+
+def _md5_worker(_: int) -> float:
+    return _md5_rate(0.25)
+
+
+def host_control(cpus: int) -> dict:
+    """Box-ceiling control (VERDICT r03 item 2): measure the machine's
+    own md5 throughput serially and at full width BEFORE the Spark
+    timings, and embed both in the bench JSON. The r03 driver bench
+    read 1.69× slow with UNIFORM per-query inflation — exactly the
+    signature of a contended/steal-afflicted host, which this control
+    makes visible inside the artifact instead of leaving the anomaly
+    to forensic reconstruction. Clean-box reference (calibrated on an
+    idle round-4 box): serial ≈ 8.5 Mhash/s, full-width parallel
+    efficiency ≈ 0.79 (the hypervisor's own ceiling — SCALING.json
+    controls put it at 0.76-0.8 when healthy)."""
+    import multiprocessing as mp
+    serial = _md5_rate()
+    with mp.Pool(cpus) as pool:
+        rates = pool.map(_md5_worker, range(cpus))
+    total = sum(rates)
+    eff = total / (serial * cpus) if serial else 0.0
+    return {
+        "md5_serial_mhash_s": round(serial, 3),
+        "md5_parallel_total_mhash_s": round(total, 3),
+        "parallel_efficiency_vs_serial_x_cpus": round(eff, 3),
+        "host_suspect": bool(serial < 6.0 or eff < 0.6),
+    }
+
+
 def _latest_scaling_run() -> dict:
     """Surface the most recent executor-scaling measurement from
     SCALING.json (the machine-readable history scripts/
@@ -174,6 +218,10 @@ def _latest_scaling_run() -> dict:
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # box-ceiling control FIRST (before the JVM exists): pure-CPU md5
+    # serial + full-width — recorded in the output JSON so a contended
+    # host is visible in the artifact itself (VERDICT r03 item 2)
+    control = host_control(int(cpus))
     spark = get_spark("luzzu_spark_bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -257,6 +305,10 @@ def main() -> None:
         "docs_per_sec_single_trial": round(n_docs / sec_single, 1),
         "replicate_factor": REPLICATE,
         "cpus": int(cpus),
+        # pure-CPU md5 ceiling measured immediately before the Spark
+        # session started — if host_suspect is true, treat the wall
+        # times above as host-inflated (the r03 anomaly's signature)
+        "host_control": control,
         # the north rule's two-cluster-size criterion is measured by a
         # separate exclusive-box harness (separate pinned executor
         # JVMs); the LATEST recorded run is read from SCALING.json at
