@@ -1067,3 +1067,141 @@ FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+def _minhash_pairs_ctes(threshold: float, bands: int) -> str:
+    """CTE chain ending in ``pairs`` (id_a < id_b, est ≥ threshold) —
+    shared by the pair-, survivor- and incremental-oracle builders."""
+    rows = MINHASH_K // bands
+    return f"""{_replayable_sig_ctes()}{_sigarr_cte()},
+bandrows AS (SELECT doc_id, b AS band,
+                    array_to_string(sig[{rows} * b + 1 :
+                                        {rows} * b + {rows}], ',') AS bs
+             FROM sigarr CROSS JOIN
+                  (SELECT unnest(range({bands})) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         FROM bandrows a JOIN bandrows bb
+              ON a.band = bb.band AND a.bs = bb.bs
+              AND a.doc_id < bb.doc_id),
+pairs AS (SELECT c.id_a, c.id_b
+          FROM cand c JOIN sigarr sa ON sa.doc_id = c.id_a
+                      JOIN sigarr sb ON sb.doc_id = c.id_b
+          WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+                                     pr -> pr[1] = pr[2])) AS DOUBLE)
+                / {MINHASH_K} >= {threshold})"""
+
+
+def near_survivors_oracle_sql(threshold: float = 0.5,
+                              bands: int = LSH_BANDS) -> str:
+    """DuckDB replay of near_dup_survivors end-to-end: exact
+    signatures → banding → thresholded pairs → transitive closure by
+    RECURSIVE CTE → lowest-id cluster head survives. The clustering
+    replay mirrors dedup_cluster_quality_survivors' oracle; the pair
+    discovery is the exact production MinHash math (not a stand-in)."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(threshold, bands)},
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+losers AS (SELECT id FROM labels WHERE id <> cluster)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
+def incremental_pairs_oracle_sql(threshold: float = 0.5,
+                                 bands: int = LSH_BANDS) -> str:
+    """DuckDB replay of incremental_minhash_pairs with the committed
+    side = even doc_ids and the incoming batch = odd doc_ids (the
+    catalog query's deterministic day-1/day-2 split): (new_id, old_id,
+    est_jaccard) for every incoming doc near-duplicating committed
+    content. Band values are per-document, so the cross-side join
+    over the full corpus's band rows is EXACTLY the committed-table
+    join the production path performs."""
+    rows = MINHASH_K // bands
+    return f"""
+WITH {_replayable_sig_ctes()}{_sigarr_cte()},
+bandrows AS (SELECT doc_id, b AS band,
+                    array_to_string(sig[{rows} * b + 1 :
+                                        {rows} * b + {rows}], ',') AS bs
+             FROM sigarr CROSS JOIN
+                  (SELECT unnest(range({bands})) AS b)),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM bandrows n JOIN bandrows o
+              ON n.band = o.band AND n.bs = o.bs
+         WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0)
+SELECT c.new_id, c.old_id,
+       CAST(len(list_filter(list_zip(sn.sig, so.sig),
+                            pr -> pr[1] = pr[2])) AS DOUBLE)
+       / {MINHASH_K} AS est_jaccard
+FROM cand c JOIN sigarr sn ON sn.doc_id = c.new_id
+            JOIN sigarr so ON so.doc_id = c.old_id
+WHERE CAST(len(list_filter(list_zip(sn.sig, so.sig),
+                           pr -> pr[1] = pr[2])) AS DOUBLE)
+      / {MINHASH_K} >= {threshold}
+ORDER BY new_id, old_id
+"""
+
+
+def _exact_jaccard_pairs_ctes(threshold: float) -> str:
+    """CTE chain ending in ``jpairs``: exact 5-gram-Jaccard pairs over
+    the replayable shingle hashes (DISTINCT h62 per doc = exactly
+    shingle_set_batch's output), inverted-index blocked."""
+    return f"""{_replayable_sig_ctes()},
+sh AS (SELECT DISTINCT doc_id, h62 FROM x),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b ON a.h62 = b.h62
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jpairs AS (SELECT id_a, id_b, n_inter, sa.n AS na, sb.n AS nb
+           FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+                 >= {threshold})"""
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.1) -> str:
+    """DuckDB replay of dedup_ngram_jaccard_exact over the replayable
+    hash shingles (r04: the query's shuffle keys moved from shingle
+    STRINGS to 8-byte h62 hashes; join-on-equality is unchanged
+    because both keyings partition shingles identically)."""
+    return f"""
+WITH {_exact_jaccard_pairs_ctes(threshold)}
+SELECT id_a, id_b,
+       CAST(ROUND(CAST(n_inter AS DOUBLE)
+            / (na + nb - n_inter), 6) AS DOUBLE) AS jaccard
+FROM jpairs ORDER BY id_a, id_b
+"""
+
+
+def cluster_quality_oracle_sql(threshold: float = 0.1) -> str:
+    """DuckDB replay of dedup_cluster_quality_survivors: exact-Jaccard
+    pairs over replayable hash shingles → transitive closure by
+    RECURSIVE CTE → longest-member-per-cluster argmax (ties → lowest
+    id). Verifies the iterative Spark clustering against an
+    independent engine, same as the r03 string-shingle version."""
+    return f"""
+WITH RECURSIVE {_exact_jaccard_pairs_ctes(threshold)},
+edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION SELECT id_b, id_a FROM jpairs),
+reach AS (SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT l.id AS doc_id,
+       CAST(l.cluster AS BIGINT) AS cluster,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY l.cluster
+                ORDER BY d.n_chars DESC, l.id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM labels l JOIN documents d ON d.doc_id = l.id
+ORDER BY doc_id
+"""

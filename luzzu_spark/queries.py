@@ -42,109 +42,73 @@ def register(name: str, oracle: str | None = None):
 
 
 # ---------------------------------------------------------------------
-# Driver verification window (VERDICT r02 item 1).
+# Driver verification window (VERDICT r02 item 1; r03 rotation plan
+# executed here as VERDICT r03 item 1).
 #
 # The driver hash-checks exactly the FIRST 50 entries of queries() in
 # iteration order, so registration order IS the verification budget.
-# This list pins the round-3 window explicitly instead of relying on
-# import order: (a) the 16 queries never driver-checked in r01/r02,
-# (b) the 11 checked only in r01 (re-green after two rounds away),
-# (c) the two queries whose shuffle keys were rewritten this round
-#     (hash-keyed spans/grams — must re-verify),
-# (d) the r02-only batch, then high-value twice-green model replays.
-# Everything past 50 is twice-green relational ops and rows-only
-# sketch ops that already hold driver rows from r01+r02.
+# Round-4 window:
+# (a) every query that has NEVER held a driver row — the 13 declared
+#     _WINDOW_OVERFLOW entries from r03 plus the two new r04 queries
+#     (incremental cross-run pairs; near-dup survivors, upgraded from
+#     rows-only to a full recursive-CTE oracle);
+# (b) queries whose implementation or oracle CHANGED this round and
+#     must re-verify: the three signature queries that moved to the
+#     SQL-replayable hash family (minhash/simhash pairs + hamming
+#     near-pairs — rows-only until r04, full oracles now),
+#     dedup_jaccard_verified (shingle kernel changed under it), and
+#     pipeline_confusion_f1 (reference labeler moved driver→executor);
+# (c) refill: r03-single-green queries for a second independent row,
+#     favoring the web/LLM-pipeline operators; 14 TPC-H shapes drop
+#     out (each holds an r03 row; the complete set of 22 is recorded)
+#     along with r01+r03 twice-green entries.
 # ---------------------------------------------------------------------
 _WINDOW: tuple[str, ...] = (
-    # (a) never driver-checked (oracle-matched locally)
-    "grouped_source_stats", "text_line_stats", "events_session_counts",
-    "window_range_time_sum", "docs_chars_histogram",
-    "join_asof_event_order", "events_sliding_10x5",
-    "agg_pivot_source_lang", "agg_percentile_chars",
-    "window_distribution_stats", "metrics_run_delta",
-    "pipeline_confusion_f1", "multimodal_frame_hashes",
-    "multimodal_image_features",
-    # new this session — encoding-damage rule + DSIR importance
-    # weighting, both oracle-hash-checkable (displace the rows-only
-    # dedup_near_survivors / embed_near_survivors, which keep their
-    # planted-twin + union-find local tests: hash slots beat
-    # rows-only slots, VERDICT r02 item 1 principle)
-    "text_encoding_quality", "dsir_importance_weights",
-    # (b) checked in r01 only
-    "agg_salted_by_source", "join_salted_docs_dims",
-    # (c) rewritten this round — fixed-width hash shuffle keys
-    "dedup_cross_doc_spans", "docs_benchmark_contamination",
-    # new this session — end-to-end clustering verification: exact
-    # Jaccard pairs → iterative connected components → quality-argmax
-    # survivors, with the clustering itself replayed by a DuckDB
-    # recursive CTE (displaces the rows-only embed_lsh_multiprobe_topk,
-    # whose recall-lift contract lives in its planted local test:
-    # hash slots beat rows-only slots, VERDICT r02 item 1 principle)
-    "dedup_cluster_quality_survivors",
-    # new this session — classifier distillation features, sequence
-    # packing, and Gopher dup-line fraction, all oracle-hash-checkable
-    # (displace window_top2_docs_per_source [r01-green] and the
-    # r02-green text_bpe_token_counts / dedup_ngram_jaccard_exact:
-    # first rows beat re-greens)
-    "distill_gram_stats", "pack_token_sequences",
-    "text_dup_line_fraction",
-    # new this session — Gopher/C4 line-format, content-marker, and
-    # alpha-word rules (displace the r02-green sampling trio
-    # sample_stable_hash / mix_weights_by_source / sample_quality_mix:
-    # first rows beat re-greens)
-    "text_bullet_ellipsis_lines", "text_code_markers",
-    "text_alpha_word_fraction",
-    # rewritten r03: distinct-on-digest (audit flagged raw-text agg key)
-    "dedup_exact_text",
-    # new in r03 — first driver rows
-    "q6_forecast_revenue", "q12_shipmode_priority", "q14_promo_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "url_host_blocklist", "dedup_url_normalized", "rank_sources_weighted",
-    # new this session — first driver rows (displacing three rows-only
-    # ops and three twice-green replays: oracle-hash slots beat both)
-    "q13_order_count_distribution", "q22_global_avg_anti_join",
-    "q15_top_supplier", "q7_bi_nation_volume",
-    "text_boilerplate_lines", "text_top_word_dominance",
-    # Gopher n-gram coverage + last TPC-H shapes (displace the
-    # r01-green dedup_simhash_near / supplier_revenue_by_nation /
-    # part_type_price_stats replays: first rows beat re-greens)
-    "text_top_ngram_coverage",
-    "q8_national_market_share", "q21_waiting_suppliers",
-    # final five TPC-H shapes — complete the 22-query set (displace
-    # q17/q10/q4 [r02-green] and agg_cube_lang_source /
-    # set_union_lang_counts [r01-green]: first rows beat re-greens)
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
-    "q16_supplier_diversity", "q20_excess_shippers",
-)
-
-# Oracle-matched first-timers that did NOT fit the 50-slot window this
-# round (53 candidates for 50 slots at rotation time, more added since).
-# Declared explicitly so the window governance test can distinguish
-# "deliberately deferred, parity-proven locally at sf0.001 AND sf0.01"
-# from "forgot to register": these are the first window candidates for
-# round 4.
-#
-# ROUND-4 ROTATION PLAN (apply at round start, keep the governance
-# tests green): move every _WINDOW_OVERFLOW entry into slots 1-N of
-# _WINDOW, displacing the r03-green queries with the LONGEST green
-# history first (q6/q12/q14/q18/q19 and the queries_scale batch will
-# then hold rows from two consecutive rounds); keep any query whose
-# implementation changed since its last driver row inside the window.
-_WINDOW_OVERFLOW: tuple[str, ...] = (
+    # (a) never driver-checked — r03 overflow, locally parity-proven
+    # at sf0.001 AND sf0.01 both rounds
     "text_c4_line_scrub",
     "dedup_dup_span_ranges",
+    "dedup_dup_span_removal",
     "skew_source_audit",
     "dsir_weighted_sample",
     "split_train_val_test",
     "docs_sql_udf_keep_counts",
-    "dedup_dup_span_removal",
     "text_nfc_normalize",
     "corpus_datasheet",
     "corpus_shuffle_order",
     "text_stopword_presence",
     "text_dup_para_fraction",
     "metrics_daq_hierarchy",
+    # (a) new in r04
+    "dedup_incremental_pairs",
+    "dedup_near_survivors",
+    # (b) changed this round — must re-verify under the new code
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
+    "dedup_jaccard_verified", "pipeline_confusion_f1",
+    "dedup_ngram_jaccard_exact",
+    # (c) refill — r03-single-green, second independent row
+    "grouped_source_stats", "text_line_stats", "events_session_counts",
+    "window_range_time_sum", "docs_chars_histogram",
+    "join_asof_event_order", "events_sliding_10x5",
+    "agg_pivot_source_lang", "agg_percentile_chars",
+    "window_distribution_stats", "metrics_run_delta",
+    "multimodal_frame_hashes", "multimodal_image_features",
+    "text_encoding_quality", "dsir_importance_weights",
+    "dedup_cluster_quality_survivors",
+    "distill_gram_stats", "pack_token_sequences",
+    "text_dup_line_fraction", "text_bullet_ellipsis_lines",
+    "text_code_markers", "text_alpha_word_fraction",
+    "url_host_blocklist", "dedup_url_normalized",
+    "rank_sources_weighted", "text_boilerplate_lines",
+    "text_top_word_dominance", "text_top_ngram_coverage",
+    "q21_waiting_suppliers",
 )
+
+# Declared overflow (r03 mechanism): oracle-matched first-timers that
+# do not fit the 50-slot window. EMPTY in round 4 — the r03 rotation
+# plan was executed in full: every r03 overflow entry now sits in
+# window slots 1-13 and every new/changed oracle query fits.
+_WINDOW_OVERFLOW: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, SparkQuery]:

@@ -539,17 +539,50 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@register("dedup_near_survivors")
+@register("dedup_near_survivors",
+          oracle=dedup.near_survivors_oracle_sql(threshold=0.5))
 def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup removal end-to-end: MinHash+LSH pairs → exact
     connected components (bounded min-label propagation) → lowest-id
-    cluster head survives. Rows-only (hash-seeded pairs); the chain
-    semantics are pinned in tests/test_dedup_similarity.py."""
+    cluster head survives. Oracle-checked since r04: the DuckDB twin
+    recomputes the exact production signatures/banding/pairs (the
+    replayable family) and replays the transitive clustering with a
+    recursive CTE — the whole removal pipeline is now hash-verified,
+    not just locally property-tested."""
     survivors = dedup.near_dup_survivors(_docs(spark, sf_dir),
                                          threshold=0.5)
     return survivors.agg(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("n_chars").cast("long").alias("total_chars"))
+
+
+@register("dedup_incremental_pairs",
+          oracle=dedup.incremental_pairs_oracle_sql(threshold=0.5))
+def dedup_incremental_pairs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CROSS-RUN near-dup semantics as a hash-checked query: committed
+    corpus = even doc_ids (day 1), incoming batch = odd doc_ids
+    (day 2); output = every incoming doc that near-duplicates
+    committed content, exactly what run_filter --neardup-index drops
+    on day 2. Drives the REAL incremental path
+    (dedup.incremental_minhash_pairs) against temp-view-backed index
+    tables carrying the production schema (id, band/sig, epoch); the
+    warehouse-table variant of the same join is plan-pinned
+    bucket-aligned in tests/test_plans.py. The DuckDB twin replays
+    signatures + banding for both sides and must match
+    (new_id, old_id, est_jaccard) exactly."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old_sigs = dedup.minhash_signatures(old)
+    epoch = F.lit(-1).cast("long").alias("epoch")
+    dedup.band_rows(old_sigs).select("doc_id", "band", "bh", epoch) \
+        .createOrReplaceTempView("inc_pairs_bands_tmp")
+    old_sigs.select("doc_id", "sig", epoch) \
+        .createOrReplaceTempView("inc_pairs_sigs_tmp")
+    return dedup.incremental_minhash_pairs(
+        spark, new, "inc_pairs_sigs_tmp", "inc_pairs_bands_tmp",
+        threshold=0.5).orderBy("new_id", "old_id")
 
 
 @register("multimodal_frame_hashes", oracle="""

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from luzzu_spark import dedup as _dedup
 from luzzu_spark.fixtures import load_table, spread
 from luzzu_spark.queries import register
 from luzzu_spark.rules import spec
@@ -311,52 +312,28 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register("dedup_ngram_jaccard_exact", oracle="""
-WITH t AS (SELECT doc_id,
-                  list_filter(string_split(trim(text), ' '),
-                              x -> x <> '') AS toks
-           FROM documents),
-sh AS (SELECT doc_id,
-              unnest(list_distinct(list_transform(range(1, len(toks)-3),
-                  i -> array_to_string(toks[i:i+4], ' ')))) AS s
-       FROM t WHERE len(toks) >= 5),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT id_a, id_b,
-       CAST(ROUND(CAST(n_inter AS DOUBLE)
-            / (sa.n + sb.n - n_inter), 6) AS DOUBLE) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.1
-ORDER BY id_a, id_b
-""")
+@register("dedup_ngram_jaccard_exact",
+          oracle=_dedup.ngram_jaccard_oracle_sql(threshold=0.1))
 def dedup_ngram_jaccard_exact(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """EXACT 5-gram Jaccard near-dup pairs via an inverted shingle
     index — the oracle-checkable twin of the MinHash estimate.
 
-    Scale shape: explode distinct shingles, equi-join on the shingle
-    key (docs sharing no shingle never meet — the inverted index IS
-    the blocking), count shared shingles per pair, derive the union
-    as |A| + |B| - |A∩B| from two per-doc size joins. No all-pairs
-    product anywhere; the shuffle keys are shingle strings and doc-id
-    pairs. (Production uses the hashed vectorized shingler in
-    dedup.py; string shingles here keep the math bit-identical to the
-    SQL oracle. The per-doc shingle HOF runs once per row, outside
-    any self-join hot path.)"""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.filter(F.split(F.trim(F.col("text")), " "),
-                 lambda x: x != "").alias("toks"))
-    sh = (d.where(F.size("toks") >= 5)
-          .select("doc_id", F.explode(F.array_distinct(F.transform(
-              F.sequence(F.lit(1), F.size("toks") - 4),
-              lambda i: F.array_join(F.slice("toks", i, 5), " "))))
-              .alias("s")))
+    Scale shape: explode distinct shingle HASHES (one vectorized
+    Arrow pass, the production shingler — replayable family, so the
+    DuckDB twin recomputes the identical 8-byte keys), equi-join on
+    the hash (docs sharing no shingle never meet — the inverted index
+    IS the blocking), count shared shingles per pair, derive the
+    union as |A| + |B| - |A∩B| from two per-doc size joins. No
+    all-pairs product anywhere; every shuffle key is a BIGINT or a
+    doc-id pair — r04 retired this query's shingle-STRING shuffle
+    keys (~100 B/row → 8 B) along with its interpreted
+    transform/slice/array_join HOF chain."""
+    from luzzu_spark.dedup import _shingle_set_udf
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.explode(_shingle_set_udf(F.col("text")))
+                  .alias("s")))
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
@@ -668,41 +645,8 @@ def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
-@register("dedup_cluster_quality_survivors", oracle="""
-WITH RECURSIVE t AS (SELECT doc_id,
-                  list_filter(string_split(trim(text), ' '),
-                              x -> x <> '') AS toks
-           FROM documents),
-sh AS (SELECT doc_id,
-              unnest(list_distinct(list_transform(range(1, len(toks)-3),
-                  i -> array_to_string(toks[i:i+4], ' ')))) AS s
-       FROM t WHERE len(toks) >= 5),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-pairs AS (SELECT id_a, id_b
-          FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                     JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(n_inter AS DOUBLE)
-                / (sa.n + sb.n - n_inter) >= 0.1),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-reach AS (SELECT a AS id, a AS r FROM edges
-          UNION
-          SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
-labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-ranked AS (SELECT l.id AS doc_id, l.cluster, d.n_chars,
-                  ROW_NUMBER() OVER (PARTITION BY l.cluster
-                      ORDER BY d.n_chars DESC, l.id) AS rn
-           FROM labels l JOIN documents d ON d.doc_id = l.id)
-SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
-       CAST(n_chars AS BIGINT) AS n_chars,
-       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
-FROM ranked ORDER BY doc_id
-""")
+@register("dedup_cluster_quality_survivors",
+          oracle=_dedup.cluster_quality_oracle_sql(threshold=0.1))
 def dedup_cluster_quality_survivors(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Quality-priority near-dup survivor selection, END TO END
@@ -714,21 +658,18 @@ def dedup_cluster_quality_survivors(spark: SparkSession,
     recursive-CTE transitive closure, so the iterative Spark algorithm
     — not just its inputs — is verified against an independent engine.
 
-    Scale: pair discovery is the inverted shingle index (no all-pairs
-    product); components shuffle (id,label) rows only, rounds = cluster
+    Scale: pair discovery is the inverted shingle index over the
+    replayable HASH shingles (one Arrow pass; 8-byte join keys — the
+    r04 rewrite that retired this query's shingle-string shuffle
+    keys); components shuffle (id,label) rows only, rounds = cluster
     diameter; the argmax window runs over cluster MEMBERS (a vanishing
     fraction of the corpus), never the corpus itself."""
-    from luzzu_spark.dedup import near_dup_clusters
+    from luzzu_spark.dedup import _shingle_set_udf, near_dup_clusters
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "n_chars",
-        F.filter(F.split(F.trim(F.col("text")), " "),
-                 lambda x: x != "").alias("toks"))
-    sh = (d.where(F.size("toks") >= 5)
-          .select("doc_id", F.explode(F.array_distinct(F.transform(
-              F.sequence(F.lit(1), F.size("toks") - 4),
-              lambda i: F.array_join(F.slice("toks", i, 5), " "))))
-              .alias("s")))
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars", "text")
+    sh = (d.select("doc_id",
+                   F.explode(_shingle_set_udf(F.col("text")))
+                   .alias("s")))
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")

@@ -27,13 +27,15 @@ def test_window_is_the_first_50():
 
 def test_window_covers_never_driver_checked_queries():
     """Every ORACLE-checkable query that never received a driver row in
-    r01 or r02 must sit inside the round-3 window — except a declared
-    overflow list when first-timers outnumber the 50 slots. Rows-only
-    ops are exempt: they'd occupy a hash-check slot for a weaker
-    rows-count record (VERDICT r02 item 1), and their correctness
-    contracts live in dedicated local tests instead."""
+    r01-r03 must sit inside the round-4 window — except a declared
+    overflow list when first-timers outnumber the 50 slots (empty in
+    r04: the r03 rotation plan landed everything). Rows-only ops are
+    exempt: they'd occupy a hash-check slot for a weaker rows-count
+    record (VERDICT r02 item 1), and their correctness contracts live
+    in dedicated local tests instead."""
     checked = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+                  "CORRECTNESS_r03.json"):
         path = os.path.join(_REPO, fname)
         with open(path) as f:
             checked |= set(json.load(f))

@@ -706,3 +706,71 @@ def test_near_dup_clusters_long_chain_converges(spark):
     got = {(r.doc_id, r.cluster)
            for r in dedup.near_dup_clusters(pairs).collect()}
     assert got == {(i, 1) for i in range(1, 61)}, sorted(got)[:5]
+
+
+def test_replayable_signature_kernels_match_python_reference():
+    """The vectorized signature kernels (minhash_batch / simhash_batch
+    / shingle_set_batch) must equal a transparent pure-Python
+    implementation of the documented hash spec (dedup.py _REPLAY_B
+    block) on random corpora — including non-ASCII codepoints and
+    tokens beyond the 32-char truncation point. This pins the numpy
+    vectorization (factorize scatter, utf-32 decode, reduceat) against
+    the spec the DuckDB oracles replay."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    P = dedup._MERSENNE_P
+    N = dedup.SHINGLE_N
+
+    def tok_hash(tok: str) -> int:
+        return sum((ord(c) + 1) * pow(dedup._REPLAY_B, i, P)
+                   for i, c in enumerate(tok[:dedup._REPLAY_LMAX])) % P
+
+    def shingles(text: str) -> list[int]:
+        th = [tok_hash(t) for t in (text or "").split()]
+        out = []
+        for j in range(len(th) - N + 1):
+            lo = sum(th[j + k] * pow(dedup._C_LO, k, P) % P
+                     for k in range(N)) % P
+            hi = sum(th[j + k] * pow(dedup._C_HI, k, P) % P
+                     for k in range(N)) % P
+            out.append(hi * (1 << 31) + lo)
+        return out
+
+    def ref_minhash(text: str):
+        hs = shingles(text)
+        if not hs:
+            return None
+        return [min((a * (h % P) + b) % P for h in hs)
+                for a, b in zip(dedup._HASH_A, dedup._HASH_B)]
+
+    def ref_simhash(text: str):
+        hs = shingles(text)
+        if not hs:
+            return None
+        acc = 0
+        for b in range(63):
+            if sum((h >> b) & 1 for h in hs) * 2 > len(hs):
+                acc |= 1 << b
+        return acc
+
+    token = st.text(
+        alphabet=st.sampled_from(list("abzé中9!") + ["x"]),
+        min_size=1, max_size=40)
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=20, deadline=None)
+    @given(corpus)
+    def prop(texts):
+        s = pd.Series(texts)
+        got_min = dedup.minhash_batch(s)
+        got_sim = dedup.simhash_batch(s)
+        got_set = dedup.shingle_set_batch(s)
+        for i, t in enumerate(texts):
+            assert got_min[i] == ref_minhash(t), (t, got_min[i])
+            assert got_sim[i] == ref_simhash(t), (t, got_sim[i])
+            assert sorted(got_set[i]) == sorted(set(shingles(t))), t
+
+    prop()
