@@ -330,23 +330,30 @@ def dedup_ngram_jaccard_exact(spark: SparkSession,
     keys (~100 B/row → 8 B) along with its interpreted
     transform/slice/array_join HOF chain."""
     from luzzu_spark.dedup import _shingle_set_udf
+    # ONE Arrow shingle pass: each exploded row carries its doc's
+    # shingle-set size n, so the per-doc size frame (and its two extra
+    # joins + re-evaluations of the UDF) disappears entirely. The
+    # repartition on s below the self-join makes both sides one shared
+    # exchange (ReusedExchange) — lsh_candidate_pairs' discipline. A
+    # separate groupBy(doc_id) sizes branch would NOT share it: its
+    # own doc_id exchange collapses the adjacent repartition and the
+    # subtrees diverge.
     sh = (_docs(spark, sf_dir)
+          .select("doc_id", _shingle_set_udf(F.col("text")).alias("arr"))
           .select("doc_id",
-                  F.explode(_shingle_set_udf(F.col("text")))
-                  .alias("s")))
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (a.join(b, "s")
-             .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
-    jac = (inter
-           .join(sizes.withColumnRenamed("doc_id", "id_a")
-                 .withColumnRenamed("n", "na"), "id_a")
-           .join(sizes.withColumnRenamed("doc_id", "id_b")
-                 .withColumnRenamed("n", "nb"), "id_b")
+                  F.size("arr").cast("long").alias("n"),
+                  F.explode("arr").alias("s"))
+          .repartition(F.col("s")))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("n").alias("na"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("n").alias("nb"), "s")
+    jac = (a.join(b, "s")
+           .where(F.col("id_a") < F.col("id_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_inter"),
+                F.first("na").alias("na"),   # constant per doc
+                F.first("nb").alias("nb"))
            .withColumn("jaccard_raw",
                        F.col("n_inter").cast("double")
                        / (F.col("na") + F.col("nb") - F.col("n_inter"))))
