@@ -49,9 +49,11 @@ def register(name: str, oracle: str | None = None):
 # iteration order, so registration order IS the verification budget.
 # Round-4 window:
 # (a) every query that has NEVER held a driver row — the 13 declared
-#     _WINDOW_OVERFLOW entries from r03 plus the two new r04 queries
+#     _WINDOW_OVERFLOW entries from r03 plus the five new r04 queries
 #     (incremental cross-run pairs; near-dup survivors, upgraded from
-#     rows-only to a full recursive-CTE oracle);
+#     rows-only to a full recursive-CTE oracle; cross-doc paragraph
+#     dedup with byte-verified rebuilt text; the two data-mixing plan
+#     queries — sqrt-temperature weights and the capped epoch budget);
 # (b) queries whose implementation or oracle CHANGED this round and
 #     must re-verify: the three signature queries that moved to the
 #     SQL-replayable hash family (minhash/simhash pairs + hamming
@@ -82,6 +84,8 @@ _WINDOW: tuple[str, ...] = (
     # (a) new in r04
     "dedup_incremental_pairs",
     "dedup_near_survivors",
+    "dedup_cross_doc_paragraphs",
+    "mix_temperature_weights", "mix_epoch_plan",
     # (b) changed this round — must re-verify under the new code
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "pipeline_confusion_f1",
@@ -100,8 +104,6 @@ _WINDOW: tuple[str, ...] = (
     "text_code_markers", "text_alpha_word_fraction",
     "url_host_blocklist", "dedup_url_normalized",
     "rank_sources_weighted", "text_boilerplate_lines",
-    "text_top_word_dominance", "text_top_ngram_coverage",
-    "q21_waiting_suppliers",
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that

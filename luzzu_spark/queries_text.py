@@ -9,7 +9,7 @@ single-space separated; the Spark side splits on \\s+ which agrees).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from luzzu_spark import dedup as _dedup
@@ -928,3 +928,85 @@ def dedup_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.md5(F.coalesce("text", F.lit("")))
                          .alias("cleaned_md5")))
     return rebuilt.unionByName(untouched).orderBy("doc_id")
+
+
+def _duppara_page_sql() -> str:
+    from luzzu_spark.queries_web import _DUPPARA_PAGE_SQL
+    return _DUPPARA_PAGE_SQL
+
+
+@register("dedup_cross_doc_paragraphs", oracle=f"""
+WITH pages AS (
+  SELECT doc_id, {_duppara_page_sql()} AS page FROM documents),
+sp AS (
+  SELECT doc_id, string_split(page, chr(10) || chr(10)) AS ls
+  FROM pages),
+idx AS (
+  SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos, ls FROM sp),
+inst AS (
+  SELECT doc_id, pos, ls[pos] AS para, md5(ls[pos]) AS ph FROM idx),
+marked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN MIN(doc_id) OVER (PARTITION BY ph)
+                   <> MAX(doc_id) OVER (PARTITION BY ph)
+              AND ROW_NUMBER() OVER (PARTITION BY ph
+                                     ORDER BY doc_id, pos) > 1
+              THEN 1 ELSE 0 END AS rm
+  FROM inst),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(SUM(rm) AS BIGINT) AS n_removed,
+         md5(coalesce(
+             string_agg(CASE WHEN rm = 0 THEN para END,
+                        chr(10) || chr(10) ORDER BY pos), ''))
+           AS rebuilt_md5
+  FROM marked GROUP BY doc_id)
+SELECT doc_id, n_paras, n_removed, rebuilt_md5
+FROM per_doc ORDER BY doc_id
+""")
+def dedup_cross_doc_paragraphs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup with the REBUILT text verified
+    byte-identically cross-engine (the RefinedWeb/MassiveText scrub:
+    a paragraph that appears in two or more DISTINCT documents keeps
+    only its globally-first instance — min (doc_id, position) — and
+    every other copy is excised; paragraphs repeated only WITHIN one
+    document are the intra-doc rules' business and stay). Documents
+    losing nothing rebuild to their original page exactly (split+join
+    on the fixed separator is lossless), so the md5 check certifies
+    both the excision and the preservation side. Pages are the
+    deterministic multi-paragraph decoration (duppara_page_expr) whose
+    planted CTA paragraph duplicates across every sixth document.
+
+    Scale: ONE shuffle does all the marking — paragraphs explode with
+    position, key down to a fixed-width md5 digest (TEXT-KEY
+    discipline), and min/max/row_number share a single window
+    partition by digest (first-instance rule + cross-doc test with no
+    self-join, no groupBy+join-back); the rebuild is the second
+    shuffle (groupBy doc_id, sort_array). Empty-after-removal docs
+    hash '' on both engines (CLAUDE.md rule 17)."""
+    from luzzu_spark.queries_web import duppara_page_expr
+    pages = (_docs(spark, sf_dir)
+             .select("doc_id", duppara_page_expr().alias("page")))
+    inst = (pages.select(
+        "doc_id",
+        F.posexplode(F.split("page", "\n\n")).alias("pos", "para"))
+        .withColumn("ph", F.md5("para")))
+    w = Window.partitionBy("ph")
+    wo = w.orderBy("doc_id", "pos")
+    marked = inst.select(
+        "doc_id", "pos", "para",
+        ((F.min("doc_id").over(w) != F.max("doc_id").over(w))
+         & (F.row_number().over(wo) > 1)).cast("int").alias("rm"))
+    kept_struct = F.when(F.col("rm") == 0,
+                         F.struct("pos", "para"))
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paras"),
+                 F.sum("rm").cast("long").alias("n_removed"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda x: x["para"]),
+                     "\n\n")).alias("rebuilt_md5"))
+            .orderBy("doc_id"))

@@ -1701,3 +1701,136 @@ def metrics_daq_hierarchy(spark: SparkSession,
                     F.col("n_docs").cast("long").alias("n_docs"),
                     F.col("n_fired").cast("long").alias("n_fired"))
             .orderBy("category", "dimension", "rule"))
+
+
+# ---------------------------------------------------------------------
+# Data-mixing plan (round 4): temperature-smoothed source weights and
+# the epoch/repetition budget they imply. The exponent is fixed at
+# α = 1/2 (square-root smoothing, the standard multilingual-sampling
+# temperature, e.g. XLM-R's exponent-smoothed rates) because IEEE-754
+# sqrt is EXACTLY rounded — unlike pow(x, 0.3), whose last-ulp value
+# is libm-dependent — so the smoothed masses are bit-identical across
+# Spark and DuckDB. Each mass is then quantized to an integer grid
+# (floor(sqrt·1e6) as BIGINT) BEFORE the normalizing sum, making the
+# denominator an order-independent exact integer (CLAUDE.md rule 12);
+# every emitted double is a single division of exact integers.
+# ---------------------------------------------------------------------
+
+_SQRT_MASS_SQL = "CAST(FLOOR(SQRT(CAST(sum_chars AS DOUBLE)) * 1e6) AS BIGINT)"
+
+
+@register("mix_temperature_weights", oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+mass AS (
+  SELECT source, n_docs, sum_chars, {_SQRT_MASS_SQL} AS m
+  FROM per_src)
+SELECT source, n_docs, sum_chars,
+       CAST(ROUND(CAST(m AS DOUBLE) / SUM(m) OVER (), 6) AS DOUBLE)
+         AS mix_weight,
+       CAST(ROUND(CAST(sum_chars AS DOUBLE)
+                  / SUM(sum_chars) OVER (), 6) AS DOUBLE)
+         AS natural_share
+FROM mass ORDER BY source
+""")
+def mix_temperature_weights(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (α = 0.5) source sampling weights for the
+    training mix, beside each source's natural share — the knob that
+    up-samples small high-value sources without letting one giant
+    crawl dominate (square-root smoothing per multilingual-LM
+    practice). Exact cross-engine: sqrt is IEEE-exact, masses quantize
+    to BIGINT before the sum, and each weight is one division of
+    exact integers (see the block comment above).
+
+    Scale: one map-side partial agg over the corpus to ~#sources
+    rows; the empty-frame normalizing window runs post-aggregation
+    only (CLAUDE.md rule 9)."""
+    per_src = (spread(load_table(spark, sf_dir, "documents"))
+               .groupBy("source")
+               .agg(F.sum("n_chars").cast("long").alias("sum_chars"),
+                    F.count(F.lit(1)).cast("long").alias("n_docs")))
+    m = F.floor(F.sqrt(F.col("sum_chars").cast("double")) * 1e6) \
+         .cast("long")
+    w = Window.partitionBy()
+    return (per_src.withColumn("m", m)
+            .select("source", "n_docs", "sum_chars",
+                    F.round(F.col("m").cast("double")
+                            / F.sum("m").over(w), 6).alias("mix_weight"),
+                    F.round(F.col("sum_chars").cast("double")
+                            / F.sum("sum_chars").over(w), 6)
+                    .alias("natural_share"))
+            .orderBy("source"))
+
+
+# token budget for the epoch plan: ~2× the sf0.01 corpus so the plan
+# exercises both branches (up-sampled sources hit the epoch cap,
+# giants stay under one epoch). A deployment passes its real budget.
+_MIX_BUDGET_CHARS = 10_000_000
+_MIX_EPOCH_CAP_X1000 = 4_000  # ≤4 epochs (data-constrained scaling)
+
+
+@register("mix_epoch_plan", oracle=f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source),
+mass AS (
+  SELECT source, sum_chars, {_SQRT_MASS_SQL} AS m FROM per_src),
+plan AS (
+  SELECT source, sum_chars,
+         CAST(FLOOR({_MIX_BUDGET_CHARS} *
+                    (CAST(m AS DOUBLE) / SUM(m) OVER ())) AS BIGINT)
+           AS target_chars
+  FROM mass)
+SELECT source, sum_chars, target_chars,
+       CAST(LEAST({_MIX_EPOCH_CAP_X1000},
+                  FLOOR(1000.0 * target_chars / sum_chars))
+            AS BIGINT) AS epochs_x1000,
+       CASE WHEN 1000.0 * target_chars / sum_chars
+                 > {_MIX_EPOCH_CAP_X1000} THEN
+         CAST(target_chars - sum_chars * 4 AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS unfilled_chars
+FROM plan ORDER BY source
+""")
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch/repetition plan for a fixed token budget: each
+    source's target volume under the α=0.5 smoothed mix, the implied
+    repetition factor in milli-epochs, capped at 4 epochs (past ~4
+    repetitions additional epochs of the same data stop helping —
+    data-constrained scaling), and the budget shortfall the cap
+    leaves unfilled (to be re-allocated or backfilled by the next
+    crawl). Integer-exact cross-engine: targets floor to BIGINT off
+    one deterministic double expression over exact integer inputs,
+    milli-epochs floor a single division of those BIGINTs.
+
+    Scale: identical one-pass shape as mix_temperature_weights; the
+    budget constant is fixture-sized here and a CLI argument in a
+    real run (the double product stays exact-input/deterministic at
+    any scale — no int64 overflow path since the product is computed
+    in double and floored once)."""
+    per_src = (spread(load_table(spark, sf_dir, "documents"))
+               .groupBy("source")
+               .agg(F.sum("n_chars").cast("long").alias("sum_chars")))
+    m = F.floor(F.sqrt(F.col("sum_chars").cast("double")) * 1e6) \
+         .cast("long")
+    w = Window.partitionBy()
+    target = F.floor(
+        F.lit(float(_MIX_BUDGET_CHARS))
+        * (F.col("m").cast("double") / F.sum("m").over(w))
+    ).cast("long")
+    ratio_x1000 = F.lit(1000.0) * F.col("target_chars") \
+        / F.col("sum_chars")
+    return (per_src.withColumn("m", m)
+            .withColumn("target_chars", target)
+            .select("source", "sum_chars", "target_chars",
+                    F.least(F.lit(_MIX_EPOCH_CAP_X1000),
+                            F.floor(ratio_x1000)).cast("long")
+                    .alias("epochs_x1000"),
+                    F.when(ratio_x1000 > _MIX_EPOCH_CAP_X1000,
+                           (F.col("target_chars")
+                            - F.col("sum_chars") * 4).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                    .alias("unfilled_chars"))
+            .orderBy("source"))
