@@ -92,7 +92,12 @@ def bench_pipeline(spark: SparkSession,
 
 def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
     """Assessment + the daQ-recast metric aggregates in one job
-    (min of two trials — host noise, BASELINE.md methodology)."""
+    (untimed warm-up + min of two trials — host noise, BASELINE.md
+    methodology). The warm-up mirrors bench_pipeline's: the report
+    plans' first execution pays codegen + Arrow worker spin-up that a
+    long-running job amortizes (measured: 5-6 s cold vs 1.4-2.0 s
+    steady on identical input), and without it the min-of-two was
+    really min(cold, half-warm)."""
     from luzzu_spark.metrics import (facet_rollup, partition_lineage,
                                      rank_sources)
     from luzzu_spark.pipeline import QualityPipeline
@@ -121,6 +126,7 @@ def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
             cached.unpersist()
         return time.perf_counter() - t0
 
+    trial()  # warm-up (untimed)
     return min(trial(), trial())
 
 
