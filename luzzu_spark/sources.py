@@ -3,8 +3,9 @@
 Luzzu ingests any RDF serialization through Jena RIOT's format sniffing
 (/root/reference/README.md:14 "representing and exchanging" —
 [paper — not in checkout]); the engine equivalent reads a corpus from
-parquet (columnar, the scale default), JSON-lines, or CSV behind one
-call, with a DECLARED schema in every case — schema inference at read
+parquet (columnar, the scale default), ORC (columnar, self-describing,
+the legacy-lake format), JSON-lines, or CSV behind one call, with a
+DECLARED schema for the text formats — schema inference at read
 time is both slow (extra pass) and nondeterministic under sampling, so
 it is never used (SURVEY.md §1.2: fixed, declared schema).
 
@@ -24,6 +25,7 @@ from pyspark.sql.types import StructType
 
 _EXT_FORMAT = {
     ".parquet": "parquet",
+    ".orc": "orc",
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
@@ -109,6 +111,10 @@ def read_corpus(spark: SparkSession, path: str | list[str],
             "emulates the snapshot-watermark contract over parquet")
     if fmt == "parquet":
         return spark.read.parquet(*paths)
+    if fmt == "orc":
+        # columnar + self-describing like parquet (native Spark reader,
+        # same pushdown/pruning); common as the legacy lake format
+        return spark.read.orc(*paths)
     if schema is None:
         raise ValueError(f"{fmt} reads require a declared schema "
                          "(inference is nondeterministic under sampling)")

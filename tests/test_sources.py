@@ -19,7 +19,7 @@ def corpus_dirs(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("sources")
     docs = load_table(spark, SF, "documents").select(*COLS)
     paths = {}
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         p = str(root / fmt)
         w = docs.coalesce(2).write.mode("overwrite")
         if fmt == "csv":
@@ -40,9 +40,10 @@ def test_all_formats_identical(spark, corpus_dirs):
     schema = ("doc_id bigint, text string, lang string, source string, "
               "n_chars bigint")
     base = read_corpus(spark, corpus_dirs["parquet"]).select(*COLS)
-    for fmt in ("json", "csv"):
-        other = read_corpus(spark, corpus_dirs[fmt],
-                            schema=schema).select(*COLS)
+    # orc is self-describing (no declared schema needed, like parquet)
+    for fmt, kw in (("orc", {}), ("json", {"schema": schema}),
+                    ("csv", {"schema": schema})):
+        other = read_corpus(spark, corpus_dirs[fmt], **kw).select(*COLS)
         assert other.count() == base.count() == 500
         assert base.exceptAll(other).count() == 0, fmt
         assert other.exceptAll(base).count() == 0, fmt
