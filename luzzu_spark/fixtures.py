@@ -76,8 +76,14 @@ def as_webpages(docs: DataFrame, inject_pii: bool = False) -> DataFrame:
         F.concat(F.lit("https://"), F.col("source"),
                  F.lit(".example.com/doc/"), F.col("doc_id").cast("string")
                  ).alias("url"),
+        # pmod bounds the interval arg to INT range: identical for every
+        # fixture/replicated id (all < 2^31) and overflow-safe under
+        # ANSI if someone feeds full-range hash ids (which they should
+        # not — real corpora carry real timestamps; see sources.read_wet)
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-         + F.make_dt_interval(mins=F.col("doc_id"))).alias("warc_ts"),
+         + F.make_dt_interval(mins=F.pmod(F.col("doc_id"),
+                                          F.lit(2147483647)).cast("int"))
+         ).alias("warc_ts"),
         F.encode(F.concat(F.lit("<html><body>"), text,
                           F.lit("</body></html>")), "UTF-8").alias("html"),
         text.alias("text"),

@@ -4,8 +4,9 @@ Luzzu ingests any RDF serialization through Jena RIOT's format sniffing
 (/root/reference/README.md:14 "representing and exchanging" —
 [paper — not in checkout]); the engine equivalent reads a corpus from
 parquet (columnar, the scale default), ORC (columnar, self-describing,
-the legacy-lake format), JSON-lines, or CSV behind one call, with a
-DECLARED schema for the text formats — schema inference at read
+the legacy-lake format), Common-Crawl WET/WARC dumps (declarative
+record splitting, see read_wet), JSON-lines, or CSV behind one call,
+with a DECLARED schema for the text formats — schema inference at read
 time is both slow (extra pass) and nondeterministic under sampling, so
 it is never used (SURVEY.md §1.2: fixed, declared schema).
 
@@ -30,6 +31,8 @@ _EXT_FORMAT = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".csv": "csv",
+    ".wet": "wet",
+    ".warc": "wet",
 }
 
 # the documents/page corpus shape (BASELINE.json:15 input_hint fields +
@@ -57,7 +60,8 @@ def sniff_format(path: str) -> str:
     (ADVICE r1) — pass fmt= explicitly for remote directories."""
     if path.startswith("iceberg://"):
         return "iceberg"
-    ext = os.path.splitext(path)[1].lower()
+    base = path[:-3] if path.lower().endswith(".gz") else path
+    ext = os.path.splitext(base)[1].lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
     if _is_remote(path):
@@ -76,6 +80,69 @@ def sniff_format(path: str) -> str:
             return sorted(counts.items(),
                           key=lambda kv: (-kv[1], kv[0]))[0][0]
     return "parquet"  # the corpus default
+
+
+def read_wet(spark: SparkSession, path: str | list[str],
+             record_types: tuple[str, ...] = ("conversion",)) -> DataFrame:
+    """Common-Crawl WET/WARC ingest, fully declarative.
+
+    The text source splits records on the WARC version line
+    (``lineSep="WARC/1.0\\r\\n"`` — one row per record: header block +
+    payload); header fields and the payload slice are then extracted
+    with Catalyst string functions. No RDDs, no Python UDFs: record
+    splitting, header parsing and payload slicing all run inside
+    whole-stage codegen, and uncompressed WET files stay splittable
+    (maxPartitionBytes-sized parallel splits within one file).
+
+    Returns the PAGE shape the pipeline consumes directly:
+    ``url, warc_ts, text, lang (null — the langid rule predicts it),
+    doc_id, source (url host), n_chars`` — feed it straight to
+    ``QualityPipeline().assess``. Do NOT route it through
+    ``fixtures.as_webpages``: that helper SYNTHESIZES urls/timestamps
+    from small fixture doc_ids, and WET records carry real ones.
+
+    Scale + honesty notes:
+    - Real CC ``.wet.gz`` files are per-record-member gzip; Hadoop's
+      codec reads the concatenated stream correctly but the file
+      becomes ONE split (gzip is unsplittable). Production CC crawls
+      ship ~64k WET files — parallelism comes from the file count,
+      which is exactly how production CC jobs distribute (pass the
+      directory or file list, not one giant file).
+    - A conversion payload containing a line that begins with
+      ``WARC/1.0`` would over-split; WET plain-text payloads make this
+      vanishingly rare and CC's own resynchronizing readers share the
+      assumption. Records missing a Target-URI (the warcinfo header
+      record) are dropped by the type filter.
+    """
+    import pyspark.sql.functions as F
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(paths)
+    header = F.substring_index("value", "\r\n\r\n", 1)
+    # payload = everything after the first blank line, minus the
+    # record-trailing CRLFCRLF the WARC framing adds
+    payload = F.expr(
+        "substring(value, length(substring_index(value, '\r\n\r\n', 1))"
+        " + 5)")
+    hdr = lambda name: F.regexp_extract(  # noqa: E731
+        header, r"(?m)^" + name + r":\s*(\S+)", 1)
+    rec = (raw
+           .where(F.length("value") > 0)
+           .select(
+               hdr("WARC-Type").alias("warc_type"),
+               hdr("WARC-Target-URI").alias("url"),
+               F.to_timestamp(hdr("WARC-Date")).alias("ts"),
+               hdr("WARC-Record-ID").alias("record_id"),
+               F.regexp_replace(payload, r"(\r\n)+$", "").alias("text"))
+           .where(F.col("warc_type").isin(*record_types)))
+    return rec.select(
+        "url",
+        F.col("ts").alias("warc_ts"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.xxhash64("record_id", "url", "ts").alias("doc_id"),
+        F.coalesce(F.parse_url("url", F.lit("HOST")),
+                   F.lit("unknown")).alias("source"),
+        F.length("text").cast("long").alias("n_chars"))
 
 
 def read_corpus(spark: SparkSession, path: str | list[str],
@@ -111,6 +178,10 @@ def read_corpus(spark: SparkSession, path: str | list[str],
             "emulates the snapshot-watermark contract over parquet")
     if fmt == "parquet":
         return spark.read.parquet(*paths)
+    if fmt == "wet":
+        # Common-Crawl WET/WARC dumps carry their own record structure;
+        # read_wet emits the corpus shape directly (schema n/a)
+        return read_wet(spark, paths)
     if fmt == "orc":
         # columnar + self-describing like parquet (native Spark reader,
         # same pushdown/pruning); common as the legacy lake format

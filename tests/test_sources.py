@@ -213,3 +213,108 @@ def test_iceberg_native_roundtrip_when_jar_present(spark, tmp_path):
                    .load("lz.db.docs"))
     assert {r["doc_id"] for r in incremental.collect()} \
         == {10, 11, 12, 13, 14}
+
+
+# ---------------------------------------------------------------------------
+# WET/WARC ingest (Common-Crawl web-text format)
+# ---------------------------------------------------------------------------
+
+_WET = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Date: 2026-01-02T03:04:05Z\r\n"
+    "WARC-Record-ID: <urn:uuid:info-1>\r\n"
+    "Content-Length: 10\r\n"
+    "\r\n"
+    "robots: x\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: http://example.com/a\r\n"
+    "WARC-Date: 2026-01-02T03:04:06Z\r\n"
+    "WARC-Record-ID: <urn:uuid:rec-a>\r\n"
+    "Content-Length: 23\r\n"
+    "\r\n"
+    "Hello web.\nSecond line.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://sub.example.org/b?q=1\r\n"
+    "WARC-Date: 2026-01-02T03:04:07Z\r\n"
+    "WARC-Record-ID: <urn:uuid:rec-b>\r\n"
+    "Content-Length: 17\r\n"
+    "\r\n"
+    "café naïve 中文\r\n"
+    "\r\n"
+)
+
+
+@pytest.fixture(scope="module")
+def wet_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wet") / "part-000.wet"
+    p.write_bytes(_WET.encode("utf-8"))
+    return str(p)
+
+
+def test_read_wet_parses_records(spark, wet_path):
+    from luzzu_spark.sources import read_wet
+    rows = {r["url"]: r for r in read_wet(spark, wet_path).collect()}
+    # warcinfo record excluded by the type filter
+    assert set(rows) == {"http://example.com/a",
+                         "https://sub.example.org/b?q=1"}
+    a = rows["http://example.com/a"]
+    assert a["text"] == "Hello web.\nSecond line."
+    assert a["source"] == "example.com"
+    assert a["warc_ts"] is not None and a["warc_ts"].second == 6
+    assert a["lang"] is None  # the langid rule predicts it downstream
+    b = rows["https://sub.example.org/b?q=1"]
+    assert b["text"] == "café naïve 中文"
+    assert b["source"] == "sub.example.org"
+    assert b["n_chars"] == len(b["text"])
+    # doc_ids deterministic and distinct
+    ids = [r["doc_id"] for r in rows.values()]
+    assert len(set(ids)) == 2
+
+
+def test_read_wet_gzip_transparent(spark, wet_path, tmp_path):
+    import gzip
+    from luzzu_spark.sources import read_wet
+    gz = tmp_path / "part-000.wet.gz"
+    gz.write_bytes(gzip.compress(open(wet_path, "rb").read()))
+    plain = read_wet(spark, wet_path).orderBy("url")
+    zipped = read_wet(spark, str(gz)).orderBy("url")
+    assert [r.asDict() for r in plain.collect()] \
+        == [r.asDict() for r in zipped.collect()]
+
+
+def test_pipeline_runs_on_wet_source(spark, wet_path):
+    """read_wet output is the page shape — assess it DIRECTLY (no
+    as_webpages: WET records carry real urls/timestamps, and the
+    full-range xxhash64 doc_ids must flow through verdict + sinks
+    without any narrow cast)."""
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_wet
+    assessed = QualityPipeline().assess(read_wet(spark, wet_path))
+    out = assessed.select("url", "keep", "drop_reasons").collect()
+    assert len(out) == 2  # every conversion record assessed end-to-end
+    assert all(r["url"].startswith("http") for r in out)
+
+
+def test_sniff_wet_and_compressed_extensions(wet_path, tmp_path):
+    assert sniff_format("/crawl/part-000.wet") == "wet"
+    assert sniff_format("/crawl/part-000.wet.gz") == "wet"
+    assert sniff_format("/crawl/rec.warc.gz") == "wet"
+    assert sniff_format("s3a://cc/part-0.json.gz") == "json"
+    # directory of .wet files sniffs by majority extension
+    import shutil
+    d = tmp_path / "wetdir"
+    d.mkdir()
+    shutil.copy(wet_path, d / "part-000.wet")
+    assert sniff_format(str(d)) == "wet"
+
+
+def test_read_corpus_routes_wet(spark, wet_path):
+    docs = read_corpus(spark, wet_path)
+    assert docs.count() == 2
+    assert {"doc_id", "url", "warc_ts", "lang", "source", "text",
+            "n_chars"} <= set(docs.columns)
