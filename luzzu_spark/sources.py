@@ -73,7 +73,8 @@ def sniff_format(path: str) -> str:
     if os.path.isdir(local):
         counts: dict[str, int] = {}
         for name in os.listdir(local):
-            e = os.path.splitext(name)[1].lower()
+            stem = name[:-3] if name.lower().endswith(".gz") else name
+            e = os.path.splitext(stem)[1].lower()
             if e in _EXT_FORMAT:
                 counts[_EXT_FORMAT[e]] = counts.get(_EXT_FORMAT[e], 0) + 1
         if counts:

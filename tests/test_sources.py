@@ -305,11 +305,16 @@ def test_sniff_wet_and_compressed_extensions(wet_path, tmp_path):
     assert sniff_format("/crawl/part-000.wet.gz") == "wet"
     assert sniff_format("/crawl/rec.warc.gz") == "wet"
     assert sniff_format("s3a://cc/part-0.json.gz") == "json"
-    # directory of .wet files sniffs by majority extension
+    # directory of .wet(.gz) files sniffs by majority extension —
+    # the .gz suffix must not blind the listing (run_filter smoke:
+    # a /crawl dir of part-*.wet.gz read as parquet fails on footers)
+    import gzip
     import shutil
     d = tmp_path / "wetdir"
     d.mkdir()
     shutil.copy(wet_path, d / "part-000.wet")
+    (d / "part-001.wet.gz").write_bytes(
+        gzip.compress(open(wet_path, "rb").read()))
     assert sniff_format(str(d)) == "wet"
 
 
