@@ -674,22 +674,27 @@ def dedup_cluster_quality_survivors(spark: SparkSession,
     from luzzu_spark.dedup import _shingle_set_udf, near_dup_clusters
 
     d = _docs(spark, sf_dir).select("doc_id", "n_chars", "text")
+    # single-pass inverted index (same discipline as
+    # dedup_ngram_jaccard_exact): each exploded row carries its doc's
+    # shingle-set size, so the separate sizes aggregate, its two joins,
+    # and a second evaluation of the shingle UDF all disappear; the
+    # repartition on s makes both self-join sides one shared exchange
     sh = (d.select("doc_id",
-                   F.explode(_shingle_set_udf(F.col("text")))
-                   .alias("s")))
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b = sh.select(F.col("doc_id").alias("id_b"), "s")
-    inter = (a.join(b, "s")
+                   _shingle_set_udf(F.col("text")).alias("arr"))
+          .select("doc_id",
+                  F.size("arr").cast("long").alias("n"),
+                  F.explode("arr").alias("s"))
+          .repartition(F.col("s")))
+    a = sh.select(F.col("doc_id").alias("id_a"),
+                  F.col("n").alias("na"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"),
+                  F.col("n").alias("nb"), "s")
+    pairs = (a.join(b, "s")
              .where(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_inter")))
-    pairs = (inter
-             .join(sizes.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n", "na"), "id_a")
-             .join(sizes.withColumnRenamed("doc_id", "id_b")
-                   .withColumnRenamed("n", "nb"), "id_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter"),
+                  F.first("na").alias("na"),   # constant per doc
+                  F.first("nb").alias("nb"))
              .where(F.col("n_inter").cast("double")
                     / (F.col("na") + F.col("nb") - F.col("n_inter"))
                     >= 0.1)
