@@ -114,10 +114,41 @@ def read_wet(spark: SparkSession, path: str | list[str],
       vanishingly rare and CC's own resynchronizing readers share the
       assumption. Records missing a Target-URI (the warcinfo header
       record) are dropped by the type filter.
+    - WARC framing is CRLF **by spec**; a file rewritten with bare LFs
+      (e.g. piped through text-mode tooling that eats ``\\r``) never
+      matches the record delimiter and parses to ZERO conversion rows
+      — if a nonempty crawl yields an empty frame, check the framing
+      bytes first.
     """
-    import pyspark.sql.functions as F
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
     raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(paths)
+    return _wet_records(raw, record_types)
+
+
+def read_wet_stream(spark: SparkSession, path: str,
+                    record_types: tuple[str, ...] = ("conversion",),
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of read_wet: point at a crawl DROP DIRECTORY and
+    every newly landed .wet(.gz) file becomes (part of) a micro-batch
+    of parsed page rows — feed it to streaming.write_stream_filtered
+    for an end-to-end incremental crawl-filter with exactly-once,
+    epoch-idempotent sinks. The file-source checkpoint tracks which
+    WET files are already processed (the streaming counterpart of the
+    batch manifest in checkpoint.py); max_files_per_trigger bounds a
+    micro-batch for backpressure on large drops."""
+    reader = spark.readStream.option("lineSep", "WARC/1.0\r\n")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return _wet_records(reader.text(path), record_types)
+
+
+def _wet_records(raw: DataFrame,
+                 record_types: tuple[str, ...]) -> DataFrame:
+    """Header/payload extraction shared by the batch and stream WET
+    readers — pure Catalyst expressions, so both plans stay inside
+    whole-stage codegen."""
+    import pyspark.sql.functions as F
     header = F.substring_index("value", "\r\n\r\n", 1)
     # payload = everything after the first blank line, minus the
     # record-trailing CRLFCRLF the WARC framing adds

@@ -323,3 +323,84 @@ def test_read_corpus_routes_wet(spark, wet_path):
     assert docs.count() == 2
     assert {"doc_id", "url", "warc_ts", "lang", "source", "text",
             "n_chars"} <= set(docs.columns)
+
+
+def test_read_wet_stream_incremental(spark, wet_path, tmp_path):
+    """Streaming WET ingest: files landing in a drop directory are
+    processed exactly once (file-source checkpoint), and the union of
+    micro-batches equals the batch reader over the same files."""
+    import shutil
+    from luzzu_spark.sources import read_wet, read_wet_stream
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    shutil.copy(wet_path, drop / "f1.wet")
+
+    def run_once():
+        q = (read_wet_stream(spark, str(drop)).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    # a second crawl file lands; the same checkpoint reads ONLY it.
+    # BINARY read/write: text mode strips the \r of \r\n (universal
+    # newlines) and the record delimiter silently never matches.
+    blob = (open(wet_path, "rb").read()
+            .replace(b"example.com/a", b"example.com/c")
+            .replace(b"sub.example.org/b?q=1", b"sub.example.org/d"))
+    (drop / "f2.wet").write_bytes(blob)
+    run_once()
+    got = spark.read.parquet(out).select("url", "text")
+    assert got.count() == 4
+    batch = read_wet(spark, [str(drop / "f1.wet"),
+                             str(drop / "f2.wet")]).select("url", "text")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_wet_stream_full_filter_composition(spark, tmp_path):
+    """The incremental crawl-filter end to end: WET files land in a
+    drop directory -> read_wet_stream micro-batches -> FULL quality
+    pipeline -> epoch-idempotent corpus sink. Kept set must equal the
+    batch pipeline over the same files."""
+    import gzip
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_wet, read_wet_stream
+    from luzzu_spark.streaming import write_stream_filtered
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    # deterministic WET content synthesized from the fixture docs
+    docs = load_table(spark, SF, "documents") \
+        .select("doc_id", "source", "text").orderBy("doc_id").collect()
+
+    def rec(r):
+        return ("WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: https://{r['source']}.example.com/doc/"
+                f"{r['doc_id']}\r\n"
+                f"WARC-Date: 2026-01-01T00:00:{r['doc_id'] % 60:02d}Z\r\n"
+                f"WARC-Record-ID: <urn:uuid:rec-{r['doc_id']}>\r\n\r\n"
+                + (r["text"] or "") + "\r\n\r\n")
+
+    half = len(docs) // 2
+    for i, chunk in enumerate((docs[:half], docs[half:])):
+        blob = "".join(rec(r) for r in chunk).encode("utf-8")
+        (drop / f"part-{i:03d}.wet.gz").write_bytes(gzip.compress(blob))
+
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    q = write_stream_filtered(read_wet_stream(spark, str(drop)), out, ck)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).select("url", "text")
+    want = QualityPipeline(auto_spread=False).filtered(
+        read_wet(spark, str(drop))).select("url", "text")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
