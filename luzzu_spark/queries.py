@@ -86,13 +86,16 @@ _WINDOW: tuple[str, ...] = (
     "dedup_near_survivors",
     "dedup_cross_doc_paragraphs",
     "mix_temperature_weights", "mix_epoch_plan",
+    "text_html_extract",
     # (b) changed this round — must re-verify under the new code
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "pipeline_confusion_f1",
     "dedup_ngram_jaccard_exact",
     # (c) refill — r03-single-green, second independent row
+    # (window_range_time_sum rotated out late-r04 for text_html_extract:
+    # r03-green and unchanged since its row, the displacement rule)
     "grouped_source_stats", "text_line_stats", "events_session_counts",
-    "window_range_time_sum", "docs_chars_histogram",
+    "docs_chars_histogram",
     "join_asof_event_order", "events_sliding_10x5",
     "agg_pivot_source_lang", "agg_percentile_chars",
     "window_distribution_stats", "metrics_run_delta",

@@ -188,6 +188,54 @@ def ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def _html_extract_oracle() -> str:
+    from luzzu_spark.rules.html import html_to_text_oracle
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><script>var a = 1 < 2;</script>'
+         || '<style>p {{ color: red }}</style></head><body><p>'
+         || replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;')
+         || '</p><ul><li>nav &amp; footer</li></ul>'
+         || '<noscript>enable js</noscript></body></html>' AS html
+  FROM documents)
+SELECT doc_id, md5({html_to_text_oracle('html')}) AS extracted_md5
+FROM pages ORDER BY doc_id
+"""
+
+
+@register("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction, byte-verified cross-engine: wrap every
+    fixture doc in a deterministic HTML page (script+style blocks to
+    drop, entity-escaped body, a nav/footer list, a noscript trap),
+    extract with the declarative chain (rules/html.py — one
+    whole-stage-codegen projection, the Java∩RE2 regex subset), and
+    return per-row md5 of the extraction. The DuckDB oracle builds the
+    identical page and replays the identical chain, so ANY divergence
+    in tag stripping, entity decoding, or whitespace normalization
+    hash-fails on the exact row (the scrub_pii_identity discipline
+    applied to the WARC-response→text step).
+
+    Scale: pure map-side projection — zero shuffle (the orderBy is the
+    driver-contract presentation sort)."""
+    from luzzu_spark.rules.html import html_to_text_expr
+    d = _docs(spark, sf_dir)
+    esc = F.replace(F.replace(F.replace(
+        F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("<"), F.lit("&lt;")), F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit("<html><head><script>var a = 1 < 2;</script>"
+              "<style>p { color: red }</style></head><body><p>"),
+        esc,
+        F.lit("</p><ul><li>nav &amp; footer</li></ul>"
+              "<noscript>enable js</noscript></body></html>"))
+    return (d.select("doc_id",
+                     F.md5(html_to_text_expr(html)).alias("extracted_md5"))
+            .orderBy("doc_id"))
+
+
 @register("scrub_pii_identity", oracle="""
 WITH injected AS (
   SELECT doc_id,

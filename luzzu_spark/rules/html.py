@@ -1,0 +1,81 @@
+"""Declarative HTML→text extraction — the step between a raw WARC
+``response`` record and the WET-style plain text the quality rules
+consume (C4/Gopher pipelines run exactly this before filtering).
+
+The extractor is a pure Catalyst expression chain (one projection, no
+UDFs, whole-stage codegen) restricted to the regex subset Java and RE2
+share — no backreferences, no lookaround — so the DuckDB oracle replays
+the chain verbatim and the output is hash-verifiable cross-engine (the
+same discipline as the PII scrub and the C4 line scrub).
+
+Honesty note: this is the deterministic heuristic tier (drop
+script/style blocks, break on block-level tags, strip tags, decode the
+six common entities, normalize whitespace). Production boilerplate
+removal (jusText/trafilatura DOM analysis, JS rendering) is a model
+slot like fastText/KenLM: swap `html_to_text_expr` for a pandas-UDF
+extractor behind the same column contract; everything downstream is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tags whose CONTENT must not leak into text
+_DROP_CONTENT_TAGS = ("script", "style", "noscript")
+# tag boundaries that imply a line break (block-level closers + br/li)
+_BLOCK_BREAK_RE = (r"(?i)<(?:br|li|tr|/p|/div|/h[1-6]|/li|/tr|/ul|/ol"
+                   r"|/table|/blockquote|/section|/article|p|div)[^>]*>")
+# entity → character, applied in this order; &amp; LAST so a literal
+# "&amp;lt;" decodes once to "&lt;", never twice to "<"
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+
+
+def html_to_text_expr(col: str | Column) -> Column:
+    """Extract readable text from an HTML string column.
+
+    Steps (each a global regexp/replace both engines implement
+    identically):
+      1. drop <script>/<style>/<noscript> elements with their content
+      2. block-level boundaries → newline
+      3. strip every remaining tag → space
+      4. decode the six common entities (&amp; last)
+      5. collapse horizontal whitespace; tidy newline spacing; trim
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for tag in _DROP_CONTENT_TAGS:
+        c = F.regexp_replace(c, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, _BLOCK_BREAK_RE, "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\f]+", " ")
+    c = F.regexp_replace(c, r" ?\r?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.regexp_replace(c, r"^\n+|\n+$", "")
+    return F.trim(c)
+
+
+def html_to_text_oracle(expr: str) -> str:
+    """The identical chain as DuckDB SQL over ``expr`` (an HTML string
+    expression) — regexp_replace needs the explicit global flag in
+    DuckDB ('g'; Spark is always-global), and the flag string carries
+    the inline (?is) modifiers' job for the tag rules."""
+    c = expr
+    for tag in _DROP_CONTENT_TAGS:
+        c = (f"regexp_replace({c}, '(?is)<{tag}[^>]*>.*?</{tag}>',"
+             f" ' ', 'g')")
+    c = f"regexp_replace({c}, '{_BLOCK_BREAK_RE}', chr(10), 'g')"
+    c = f"regexp_replace({c}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    c = f"regexp_replace({c}, '[ \\t\\f]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' ?\\r?\\n ?', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    c = f"regexp_replace({c}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({c})"

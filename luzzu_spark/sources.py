@@ -143,6 +143,27 @@ def read_wet_stream(spark: SparkSession, path: str,
     return _wet_records(reader.text(path), record_types)
 
 
+def read_warc_html(spark: SparkSession,
+                   path: str | list[str]) -> DataFrame:
+    """Raw-WARC ingest: ``response`` records (HTTP headers + HTML body)
+    → extracted text, all declarative. The record payload is split
+    once more at its first blank line (HTTP header block vs body), the
+    body is kept as an ``html`` binary column, and ``text`` becomes
+    the declarative extraction (rules/html.py) — the same page shape
+    `as_webpages` synthesizes, fed by real crawl data. This is the
+    upstream twin of read_wet: WET files ARE this transform,
+    precomputed by Common Crawl."""
+    import pyspark.sql.functions as F
+    from luzzu_spark.rules.html import html_to_text_expr
+    pages = read_wet(spark, path, record_types=("response",))
+    body = F.expr("substring(text, length(substring_index("
+                  "text, '\r\n\r\n', 1)) + 5)")
+    return (pages
+            .withColumn("html", F.encode(body, "UTF-8"))
+            .withColumn("text", html_to_text_expr(body))
+            .withColumn("n_chars", F.length("text").cast("long")))
+
+
 def _wet_records(raw: DataFrame,
                  record_types: tuple[str, ...]) -> DataFrame:
     """Header/payload extraction shared by the batch and stream WET

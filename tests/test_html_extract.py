@@ -1,0 +1,105 @@
+"""HTML→text extraction: the Spark chain and its DuckDB oracle replay
+must be BYTE-identical on crafted edge cases, and the raw-WARC
+response reader must feed the quality pipeline end to end."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from luzzu_spark.rules.html import html_to_text_expr, html_to_text_oracle
+
+CASES = [
+    # script/style/noscript content must vanish; entities decode once;
+    # block tags break lines; stray '<' inside script must not confuse
+    "<html><head><script>var x = 1 < 2;</script><style>p{color:red}"
+    "</style></head><body><p>Hello &amp; welcome to the caf&#39;s "
+    "page.</p><div>Second block with &lt;tags&gt; shown literally."
+    "</div><ul><li>one</li><li>two</li></ul>"
+    "<table><tr><td>cell</td></tr></table>"
+    "<blockquote>quoted &quot;text&quot;&nbsp;here</blockquote>"
+    "<noscript>js off</noscript>footer text</body></html>",
+    # newlines inside an element; <br> break
+    "<p>multi\nline\ninside one tag</p><br>after break",
+    # no tags at all; double-encoded entity decodes exactly once
+    "plain text no tags &amp;amp; stays half-encoded",
+    # empty and whitespace-only
+    "",
+    "   \n\n  ",
+    # attributes with '>' lookalikes, self-closing, uppercase tags
+    '<DIV CLASS="x"><P>upper</P></DIV><img src="a.png"/><BR/>tail',
+    # multi-line script block (the (?s) flag path)
+    "<script>\nline1();\nline2();\n</script>kept",
+]
+
+
+def test_spark_duckdb_extraction_identical(spark):
+    df = spark.createDataFrame(list(enumerate(CASES)), "i int, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", html_to_text_expr("html").alias("t")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(CASES)))
+        + ") v(i, html)", CASES)
+    want = dict(con.execute(
+        f"SELECT i, {html_to_text_oracle('html')} FROM t").fetchall())
+    for i in range(len(CASES)):
+        assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_extraction_content_expectations(spark):
+    df = spark.createDataFrame([(0, CASES[0])], "i int, html string")
+    out = df.select(html_to_text_expr("html").alias("t")).collect()[0]["t"]
+    assert "var x" not in out and "color:red" not in out
+    assert "js off" not in out
+    assert "Hello & welcome" in out
+    assert '<tags> shown literally' in out
+    assert 'quoted "text" here' in out
+    assert out.splitlines()[0].startswith("Hello")  # leading \n trimmed
+    assert "one" in out and "two" in out
+
+
+_WARC = (
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: http://example.com/page\r\n"
+    "WARC-Date: 2026-02-03T04:05:06Z\r\n"
+    "WARC-Record-ID: <urn:uuid:resp-1>\r\n"
+    "Content-Type: application/http; msgtype=response\r\n"
+    "\r\n"
+    "HTTP/1.1 200 OK\r\n"
+    "Content-Type: text/html; charset=UTF-8\r\n"
+    "\r\n"
+    "<html><head><title>T</title><script>x()</script></head><body>"
+    "<p>A real paragraph of crawl text with enough words to read "
+    "naturally and sensible punctuation.</p>"
+    "<div>Another &amp; final block.</div></body></html>\r\n"
+    "\r\n"
+)
+
+
+@pytest.fixture()
+def warc_path(tmp_path):
+    p = tmp_path / "crawl-000.warc"
+    p.write_bytes(_WARC.encode("utf-8"))
+    return str(p)
+
+
+def test_read_warc_html_end_to_end(spark, warc_path):
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_warc_html
+    pages = read_warc_html(spark, warc_path)
+    row = pages.collect()[0]
+    assert row["url"] == "http://example.com/page"
+    assert row["source"] == "example.com"
+    # HTTP headers stripped, tags stripped, entity decoded
+    assert "HTTP/1.1" not in row["text"] and "200 OK" not in row["text"]
+    assert "x()" not in row["text"]
+    assert "Another & final block." in row["text"]
+    assert row["text"].startswith("T\nA real paragraph")
+    assert row["html"].decode("utf-8").startswith("<html>")
+    # and it assesses through the full pipeline unchanged
+    assessed = QualityPipeline().assess(pages)
+    assert assessed.select("url", "keep").count() == 1
