@@ -32,7 +32,7 @@ _EXT_FORMAT = {
     ".ndjson": "json",
     ".csv": "csv",
     ".wet": "wet",
-    ".warc": "wet",
+    ".warc": "warc",
 }
 
 # the documents/page corpus shape (BASELINE.json:15 input_hint fields +
@@ -232,9 +232,12 @@ def read_corpus(spark: SparkSession, path: str | list[str],
     if fmt == "parquet":
         return spark.read.parquet(*paths)
     if fmt == "wet":
-        # Common-Crawl WET/WARC dumps carry their own record structure;
-        # read_wet emits the corpus shape directly (schema n/a)
+        # Common-Crawl WET dumps carry their own record structure;
+        # read_wet emits the page shape directly (schema n/a)
         return read_wet(spark, paths)
+    if fmt == "warc":
+        # raw crawl: response records -> HTTP split -> HTML -> text
+        return read_warc_html(spark, paths)
     if fmt == "orc":
         # columnar + self-describing like parquet (native Spark reader,
         # same pushdown/pruning); common as the legacy lake format

@@ -103,3 +103,13 @@ def test_read_warc_html_end_to_end(spark, warc_path):
     # and it assesses through the full pipeline unchanged
     assessed = QualityPipeline().assess(pages)
     assert assessed.select("url", "keep").count() == 1
+
+
+def test_read_corpus_routes_warc(spark, warc_path):
+    """.warc paths route to the response reader (conversion-only WET
+    parsing would silently return zero rows on a raw crawl)."""
+    from luzzu_spark.sources import read_corpus, sniff_format
+    assert sniff_format(warc_path) == "warc"
+    docs = read_corpus(spark, warc_path)
+    assert docs.count() == 1
+    assert "html" in docs.columns

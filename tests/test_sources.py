@@ -303,7 +303,7 @@ def test_pipeline_runs_on_wet_source(spark, wet_path):
 def test_sniff_wet_and_compressed_extensions(wet_path, tmp_path):
     assert sniff_format("/crawl/part-000.wet") == "wet"
     assert sniff_format("/crawl/part-000.wet.gz") == "wet"
-    assert sniff_format("/crawl/rec.warc.gz") == "wet"
+    assert sniff_format("/crawl/rec.warc.gz") == "warc"
     assert sniff_format("s3a://cc/part-0.json.gz") == "json"
     # directory of .wet(.gz) files sniffs by majority extension —
     # the .gz suffix must not blind the listing (run_filter smoke:
