@@ -847,6 +847,54 @@ def cluster_survivors_by_quality(docs: DataFrame, pairs: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
+def remove_cross_doc_paragraphs(docs: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph scrub (RefinedWeb/MassiveText): a
+    paragraph appearing in two or more DISTINCT documents keeps only
+    its globally-first instance (min ``(id, position)``); every other
+    copy is excised and ``text_col`` is rebuilt from the survivors.
+    Paragraphs repeated only WITHIN one document stay — that is the
+    intra-doc repetition rules' business (Gopher dup-para fraction).
+
+    Docs that lose nothing rebuild byte-identically (split+join on the
+    literal ``\\n\\n`` separator is lossless — the catalog twin
+    ``dedup_cross_doc_paragraphs`` md5-verifies both the excision and
+    the preservation side per document, cross-engine); docs whose
+    every paragraph was excised come back with empty text, which the
+    quality filter then drops. NULL-text docs pass through untouched.
+
+    Scale shape: ONE window shuffle does all the marking — paragraphs
+    explode with position and key on a fixed-width md5 digest
+    (min/max/row_number share the partition: first-instance rule +
+    cross-doc test with no self-join); the rebuild is the second
+    shuffle (groupBy id, array_sort). Paragraph text rides each
+    exchange once as payload, never as a key."""
+    inst = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n\n"))
+         .alias("_pos", "_para"))
+        .withColumn("_ph", F.md5("_para")))
+    w = Window.partitionBy("_ph")
+    wo = w.orderBy("_id", "_pos")
+    marked = inst.select(
+        "_id", "_pos", "_para",
+        ((F.min("_id").over(w) != F.max("_id").over(w))
+         & (F.row_number().over(wo) > 1)).alias("_rm"))
+    kept_struct = F.when(~F.col("_rm"), F.struct("_pos", "_para"))
+    rebuilt = (marked.groupBy("_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(kept_struct)),
+                       lambda x: x["_para"]),
+                   "\n\n").alias("_rebuilt")))
+    return (docs.join(rebuilt,
+                      docs[id_col] == rebuilt["_id"], "left")
+            .withColumn(text_col,
+                        F.coalesce("_rebuilt", F.col(text_col)))
+            .drop("_id", "_rebuilt"))
+
+
 def remove_dup_spans(docs: DataFrame, n: int = 20,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

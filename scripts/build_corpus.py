@@ -16,7 +16,11 @@ the same input produce byte-identical corpora):
 3. near-dup dedup  — MinHash+LSH candidates → exact connected
                      components; survivor = lowest id (default) or the
                      longest member (--survivor-policy quality).
-3b. span removal   — optional (--dedup-spans): excise cross-document
+3b. paragraph scrub — optional (--dedup-paragraphs): excise paragraphs
+                     appearing in >=2 distinct docs, keep the
+                     globally-first instance (RefinedWeb/MassiveText;
+                     dedup.remove_cross_doc_paragraphs).
+3c. span removal   — optional (--dedup-spans): excise cross-document
                      duplicated token ranges (Lee et al.
                      exact-substring removal, dedup.remove_dup_spans).
 4. decontaminate   — drop docs sharing any 13-gram with the benchmark
@@ -76,6 +80,12 @@ def build_args() -> argparse.Namespace:
                         "docs keep their text verbatim; "
                         "fully-duplicated docs empty out and fall to "
                         "the min-chars rule on the next run")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="excise paragraphs appearing in >=2 distinct "
+                        "documents, keeping the globally-first "
+                        "instance (RefinedWeb/MassiveText scrub, "
+                        "dedup.remove_cross_doc_paragraphs); docs "
+                        "losing nothing rebuild byte-identically")
     p.add_argument("--survivor-policy", choices=["first", "quality"],
                    default="first",
                    help="near-dup survivor: 'first' keeps the lowest "
@@ -150,6 +160,13 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     else:
         kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
     funnel["after_near_dedup"] = kept.count()
+
+    if getattr(args, "dedup_paragraphs", False):
+        kept = dedup.remove_cross_doc_paragraphs(kept)
+        # paragraph excision rewrites text, not rows — report the
+        # surviving text volume so the funnel shows what it removed
+        funnel["chars_after_para_dedup"] = kept.agg(
+            F.sum(F.length("text")).cast("long")).collect()[0][0]
 
     if getattr(args, "dedup_spans", False):
         kept = dedup.remove_dup_spans(kept)

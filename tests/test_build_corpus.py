@@ -171,3 +171,42 @@ def test_span_removal_stage(spark, tmp_path):
         "both planted docs must reach the span stage", survived)
     for did in survived:
         assert "shared0" not in got[did]
+
+
+def test_paragraph_scrub_stage(spark, tmp_path):
+    """--dedup-paragraphs: a boilerplate paragraph shared by two
+    otherwise-distinct docs survives only in the lower-id doc's text;
+    every other written doc is byte-identical to its filtered form
+    without the flag."""
+    all_docs = load_table(spark, SF, "documents").where("doc_id < 40")
+    rows = {r["doc_id"]: r for r in all_docs.collect()}
+    docs = all_docs.where("doc_id NOT IN (4, 10)")
+    # the planted CTA paragraph keeps stopword/length stats healthy
+    cta = ("Subscribe to the newsletter and share this page with "
+           "your friends for more of the same content.")
+    planted = spark.createDataFrame(
+        [(3001, rows[4]["text"] + "\n\n" + cta,
+          rows[4]["lang"], rows[4]["source"], 0),
+         (3002, rows[10]["text"] + "\n\n" + cta,
+          rows[10]["lang"], rows[10]["source"], 0)], docs.schema)
+    inp = str(tmp_path / "docs")
+    docs.unionByName(planted).repartition(4) \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "corpus")
+    funnel = bc.build(spark, _mkargs(input=inp, output=out,
+                                     dedup_paragraphs=True,
+                                     neardup_threshold=0.99))
+    assert "chars_after_para_dedup" in funnel
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert 3001 in got and 3002 in got
+    assert cta in got[3001]          # first instance kept
+    assert cta not in got[3002]      # later copy excised
+    # untouched docs byte-identical to a flag-less run
+    out2 = str(tmp_path / "corpus_noflag")
+    bc.build(spark, _mkargs(input=inp, output=out2,
+                            neardup_threshold=0.99))
+    base = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out2).select("doc_id", "text").collect()}
+    untouched = [d for d in got if d not in (3002,)]
+    assert all(got[d] == base[d] for d in untouched)

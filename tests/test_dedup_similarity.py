@@ -774,3 +774,38 @@ def test_replayable_signature_kernels_match_python_reference():
             assert sorted(got_set[i]) == sorted(set(shingles(t))), t
 
     prop()
+
+
+def test_remove_cross_doc_paragraphs_planted(spark):
+    """RefinedWeb paragraph scrub as a corpus transform: the shared
+    paragraph survives only in its globally-first doc; untouched docs
+    rebuild byte-identically; NULL text passes through; intra-doc
+    repeats stay (they are the Gopher rules' business)."""
+    from luzzu_spark.dedup import remove_cross_doc_paragraphs
+    shared = "Subscribe to our newsletter for updates."
+    rows = [
+        (1, f"First doc body.\n\n{shared}\n\nTail one."),
+        (2, "Second doc alpha.\n\nSecond doc beta.\n\nSecond doc gamma."),
+        (3, f"{shared}\n\nThird doc tail."),
+        (4, "Repeat me.\n\nRepeat me.\n\nUnique end."),   # intra-doc only
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_cross_doc_paragraphs(docs).collect()}
+    assert out[1] == rows[0][1]                 # first instance kept
+    assert out[2] == rows[1][1]                 # untouched, byte-identical
+    assert out[3] == "Third doc tail."          # later copy excised
+    assert out[4] == rows[3][1]                 # intra-doc repeats stay
+    assert out[5] is None                       # NULL passes through
+
+
+def test_remove_cross_doc_paragraphs_fully_duplicated(spark):
+    from luzzu_spark.dedup import remove_cross_doc_paragraphs
+    docs = spark.createDataFrame(
+        [(1, "Only para."), (2, "Only para.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_cross_doc_paragraphs(docs).collect()}
+    assert out[1] == "Only para."
+    assert out[2] == ""                          # empties out -> filter drops
