@@ -134,10 +134,25 @@ def quality_score(assessed: DataFrame,
 
 
 def rank_sources(assessed: DataFrame, by: str = "source") -> DataFrame:
-    """Dataset ranking recast: rank sources/hosts by mean quality."""
-    scored = quality_score(assessed)
-    agg = (scored.groupBy(by)
-           .agg(F.avg("quality_score").alias("mean_quality"),
+    """Dataset ranking recast: rank sources/hosts by mean quality.
+
+    mean_quality folds to exact integers before the one double
+    division (sum of passed-rule counts / (|rules| × n)): a float
+    avg() of per-doc k/9 scores is order-dependent (1/9 is not
+    representable — CLAUDE.md rule 12), so this form is what makes the
+    ranking both deterministic under any partitioning and
+    hash-replayable by the DuckDB verdict oracle
+    (queries_ml.pipeline_rank_sources). Numerically it is the same
+    mean, computed associatively."""
+    n_rules = len(spec.RULE_ORDER)
+    n_passed = (F.lit(n_rules)
+                - F.size(F.array_intersect(
+                    "drop_reasons",
+                    F.array(*[F.lit(r) for r in spec.RULE_ORDER]))))
+    agg = (assessed.groupBy(by)
+           .agg((F.sum(n_passed.cast("long"))
+                 / (float(n_rules) * F.count(F.lit(1))))
+                .alias("mean_quality"),
                 F.count(F.lit(1)).alias("n_docs")))
     w = Window.orderBy(F.desc("mean_quality"), F.asc(by))
     return agg.withColumn("rank", F.rank().over(w))

@@ -91,12 +91,16 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "pipeline_confusion_f1",
     "dedup_ngram_jaccard_exact",
+    # (b late-r04) verdict CTE refactored to per-rule flags; ranking
+    # gained a full oracle off it (rows-only before)
+    "pipeline_verdict_counts", "pipeline_rank_sources",
     # (c) refill — r03-single-green, second independent row
-    # (window_range_time_sum rotated out late-r04 for text_html_extract:
-    # r03-green and unchanged since its row, the displacement rule)
+    # (window_range_time_sum, join_asof_event_order and
+    # events_sliding_10x5 rotated out late-r04 for text_html_extract +
+    # the two verdict-family rows above: all three are r03-green and
+    # unchanged since their row, the displacement rule)
     "grouped_source_stats", "text_line_stats", "events_session_counts",
     "docs_chars_histogram",
-    "join_asof_event_order", "events_sliding_10x5",
     "agg_pivot_source_lang", "agg_percentile_chars",
     "window_distribution_stats", "metrics_run_delta",
     "multimodal_frame_hashes", "multimodal_image_features",

@@ -385,7 +385,7 @@ model AS (
   FROM alpha a1 CROSS JOIN alpha a2 CROSS JOIN alpha a3
   LEFT JOIN tri t ON t.c1 = a1.c AND t.c2 = a2.c AND t.c3 = a3.c),
 injected AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, source,
     text || CASE doc_id % 7
       WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@example.com for details'
@@ -412,7 +412,7 @@ dppl AS (SELECT a.doc_id, EXP(-SUM(m.lp) / COUNT(*)) AS ppl
                                 AND m.c3 = d.c
          GROUP BY a.doc_id),
 feat AS (
-  SELECT i.doc_id, i.lang, i.raw,
+  SELECT i.doc_id, i.lang, i.source, i.raw,
          list_filter(string_split(trim(i.raw), ' '), x -> x <> '')
            AS toks,
          len(i.raw) AS n_chars, p.ppl
@@ -432,26 +432,39 @@ dup AS (SELECT doc_id,
                          / len(g) ELSE 0.0 END AS dup_frac
         FROM grams),
 verdict AS (
-  SELECT f.lang,
-    NOT (
-      f.n_chars < {spec.MIN_DOC_CHARS}
-      OR len(f.toks) < {spec.MIN_WORDS}
-      OR len(f.toks) > {spec.MAX_WORDS}
-      OR COALESCE({mwl} < {spec.MEAN_WORD_LEN_LO}, FALSE)
-      OR COALESCE({mwl} > {spec.MEAN_WORD_LEN_HI}, FALSE)
-      OR COALESCE(list_max(list_transform(f.toks, x -> len(x))), 0)
-         > {spec.MAX_WORD_LEN}
-      OR COALESCE(CAST(len(regexp_extract_all(f.raw,
+  SELECT f.lang, f.source,
+    -- one boolean per RULE_ORDER entry (lateral aliases), so any
+    -- select can replay drop_reasons-granular scores, not just keep;
+    -- langid_conf never fires (confidence >= 0 = MIN_LANGID_CONF)
+    (f.n_chars < {spec.MIN_DOC_CHARS}) AS r_min_chars,
+    (len(f.toks) < {spec.MIN_WORDS}
+     OR len(f.toks) > {spec.MAX_WORDS}) AS r_word_count,
+    (COALESCE({mwl} < {spec.MEAN_WORD_LEN_LO}, FALSE)
+     OR COALESCE({mwl} > {spec.MEAN_WORD_LEN_HI}, FALSE))
+      AS r_mean_word_len,
+    (COALESCE(list_max(list_transform(f.toks, x -> len(x))), 0)
+     > {spec.MAX_WORD_LEN}) AS r_max_word_len,
+    COALESCE(CAST(len(regexp_extract_all(f.raw,
                   '[{spec.SYMBOL_CHARS}]')) AS DOUBLE)
                   / NULLIF(len(f.toks), 0)
                   > {spec.MAX_SYMBOL_WORD_RATIO}, FALSE)
-      OR COALESCE(CAST(len(list_filter(f.toks,
+      AS r_symbol_ratio,
+    COALESCE(CAST(len(list_filter(f.toks,
                   x -> list_contains({sw}, x))) AS DOUBLE)
                   / NULLIF(len(f.toks), 0)
                   < {spec.MIN_STOPWORD_FRAC}, TRUE)
-      OR d.dup_frac > {spec.MAX_DUP_NGRAM_FRAC}
-      OR COALESCE(f.ppl, 0) > {spec.MAX_PERPLEXITY}
-    ) AS keep
+      AS r_stopword_frac,
+    (d.dup_frac > {spec.MAX_DUP_NGRAM_FRAC}) AS r_dup_ngram_frac,
+    (COALESCE(f.ppl, 0) > {spec.MAX_PERPLEXITY}) AS r_perplexity,
+    NOT (r_min_chars OR r_word_count OR r_mean_word_len
+         OR r_max_word_len OR r_symbol_ratio OR r_stopword_frac
+         OR r_dup_ngram_frac OR r_perplexity) AS keep,
+    CAST({len(spec.RULE_ORDER)}
+         - CAST(r_min_chars AS INT) - CAST(r_word_count AS INT)
+         - CAST(r_mean_word_len AS INT) - CAST(r_max_word_len AS INT)
+         - CAST(r_symbol_ratio AS INT) - CAST(r_stopword_frac AS INT)
+         - CAST(r_dup_ngram_frac AS INT) - CAST(r_perplexity AS INT)
+         AS BIGINT) AS n_passed
   FROM feat f JOIN dup d ON d.doc_id = f.doc_id)
 {select}
 """
@@ -509,18 +522,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-@register("pipeline_rank_sources")
+_RANK_SELECT = """
+SELECT source,
+       CAST(tp AS DOUBLE) / (9 * n) AS mean_quality,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(RANK() OVER (ORDER BY CAST(tp AS DOUBLE) / (9 * n) DESC,
+                         source ASC) AS BIGINT) AS rank
+FROM (SELECT source, SUM(n_passed) AS tp, COUNT(*) AS n
+      FROM verdict GROUP BY source) m
+ORDER BY rank, source
+"""
+
+
+@register("pipeline_rank_sources", oracle=_verdict_oracle_sql(_RANK_SELECT))
 def pipeline_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-driven source ranking (README.md:15 recast): weighted
-    rule-pass score per doc → mean per source → dense rank. Rows-only
-    (depends on the model-rule UDFs); the oracle-checked scoring twin
-    is docs_quality_score."""
+    """Quality-driven source ranking (README.md:15 recast): rule-pass
+    count per doc → exact mean per source → rank. Oracle-checked since
+    late r04: the verdict CTE now exposes per-rule firing booleans +
+    n_passed, so the DuckDB twin replays the SAME drop_reasons-granular
+    score the pipeline computes (rows-only before — it 'depended on the
+    model-rule UDFs', but the r02 SQL replays of both models already
+    made that excuse obsolete). Hash-exact because mean_quality folds
+    to integers before ONE double division on both engines (see
+    metrics.rank_sources)."""
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.metrics import rank_sources
     from luzzu_spark.pipeline import QualityPipeline
-    pages = as_webpages(_docs(spark, sf_dir))
+    pages = as_webpages(_docs(spark, sf_dir), inject_pii=True)
     assessed = QualityPipeline(scrub=False).assess(pages)
-    return rank_sources(assessed)
+    return rank_sources(assessed).orderBy("rank", "source")
 
 
 @register("dedup_simhash_near",
