@@ -218,8 +218,10 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails on the exact row (the scrub_pii_identity discipline
     applied to the WARC-response→text step).
 
-    Scale: pure map-side projection — zero shuffle (the orderBy is the
-    driver-contract presentation sort)."""
+    Scale: the extraction itself is a pure map-side projection — the
+    only exchanges in the job are the fixture ingest spread and the
+    driver-contract presentation sort on doc_id (SHUFFLE.md measures
+    the pair at ~40 B/doc beyond ingest — md5 rows, not pages)."""
     from luzzu_spark.rules.html import html_to_text_expr
     d = _docs(spark, sf_dir)
     esc = F.replace(F.replace(F.replace(

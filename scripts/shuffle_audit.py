@@ -62,7 +62,8 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
             "docs_quality_score"]
 EXTENDED = ["text_c4_line_scrub", "dedup_dup_span_removal",
             "dedup_cluster_quality_survivors", "text_nfc_normalize",
-            "dsir_weighted_sample"]
+            "dsir_weighted_sample", "text_html_extract",
+            "dedup_cross_doc_paragraphs"]
 
 _FIELDS = ("shuffleWriteBytes", "shuffleReadBytes")
 
@@ -194,6 +195,7 @@ def main() -> None:
                 "dedup_dup_span_removal",
                 "dedup_cluster_quality_survivors",
                 "text_nfc_normalize", "dsir_weighted_sample",
+                "text_html_extract", "dedup_cross_doc_paragraphs",
                 "ingest_spread(fixture artifact)"}
     lines = [
         "# SHUFFLE.md — measured shuffle volume per headline query",
