@@ -87,6 +87,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_cross_doc_paragraphs",
     "mix_temperature_weights", "mix_epoch_plan",
     "text_html_extract",
+    "split_leakage_audit",
     # (b) changed this round — must re-verify under the new code
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "pipeline_confusion_f1",
@@ -95,13 +96,14 @@ _WINDOW: tuple[str, ...] = (
     # gained a full oracle off it (rows-only before)
     "pipeline_verdict_counts", "pipeline_rank_sources",
     # (c) refill — r03-single-green, second independent row
-    # (window_range_time_sum, join_asof_event_order and
-    # events_sliding_10x5 rotated out late-r04 for text_html_extract +
-    # the two verdict-family rows above: all three are r03-green and
-    # unchanged since their row, the displacement rule)
+    # (window_range_time_sum, join_asof_event_order,
+    # events_sliding_10x5 and agg_pivot_source_lang rotated out
+    # late-r04 for text_html_extract, split_leakage_audit + the two
+    # verdict-family rows above: all four are r03-green and unchanged
+    # since their row, the displacement rule)
     "grouped_source_stats", "text_line_stats", "events_session_counts",
     "docs_chars_histogram",
-    "agg_pivot_source_lang", "agg_percentile_chars",
+    "agg_percentile_chars",
     "window_distribution_stats", "metrics_run_delta",
     "multimodal_frame_hashes", "multimodal_image_features",
     "text_encoding_quality", "dsir_importance_weights",

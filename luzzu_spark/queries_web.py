@@ -1241,6 +1241,72 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "split"))
 
 
+def _leakage_oracle() -> str:
+    from luzzu_spark import dedup as _dd
+    return f"""
+WITH {_dd._minhash_pairs_ctes(0.5, _dd.LSH_BANDS)},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN k2 < 204 THEN 'train'
+              WHEN k2 < 230 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+               * 16
+               + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                 AS k2
+        FROM documents))
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p JOIN splits sa ON sa.doc_id = p.id_a
+             JOIN splits sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("split_leakage_audit", oracle=_leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit the benchmark decontamination cannot
+    see: NEAR-duplicate pairs (MinHash est_jaccard ≥ 0.5, the
+    production blocking) whose members landed in different splits of
+    the content-hash train/val/test split. Exact duplicates can never
+    straddle a content-keyed split (same text → same md5 → same
+    split — split_train_val_test's guarantee); near-duplicates CAN,
+    and each cross-split pair is an eval document whose sibling is in
+    training. The count per (split, split) cell quantifies the
+    residual risk — and running near-dup removal BEFORE splitting
+    (build_corpus stage order) drives the off-diagonal cells to zero.
+
+    Oracle: the replayable MinHash family recomputes the exact
+    signatures/banding/pairs; the split replays the md5-byte
+    thresholds — the full audit is hash-verified end to end.
+
+    Scale: the pairs side is the banded LSH self-join (ids only); the
+    splits side is a map-side projection joined twice on doc_id."""
+    from luzzu_spark.dedup import minhash_dedup_pairs
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    m = F.md5("text")
+    k2 = ((F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1)
+          * 16
+          + (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(m, 2, 1)) - 1))
+    split = (F.when(k2 < 204, F.lit("train"))
+             .when(k2 < 230, F.lit("val"))
+             .otherwise(F.lit("test")))
+    splits = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    sa = splits.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("split_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("split_a", "split_b").alias("split_lo"),
+                    F.greatest("split_a", "split_b").alias("split_hi"))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("split_lo", "split_hi"))
+
+
 def _sqludf_oracle() -> str:
     from luzzu_spark.rules import spec as s
     from luzzu_spark.rules.stopwords import STOPWORDS
