@@ -158,8 +158,12 @@ def host_control(cpus: int) -> dict:
     makes visible inside the artifact instead of leaving the anomaly
     to forensic reconstruction. Clean-box reference (calibrated on an
     idle round-4 box): serial ≈ 8.5 Mhash/s, full-width parallel
-    efficiency ≈ 0.79 (the hypervisor's own ceiling — SCALING.json
-    controls put it at 0.76-0.8 when healthy)."""
+    efficiency ≈ 0.79-0.89 (the hypervisor's own ceiling —
+    SCALING.json controls put it at 0.76-0.8 when healthy). Measured
+    calibration of the suspect threshold: a run at efficiency 0.64
+    (minutes after a 10-min test suite) showed UNIFORM 1.2-2.5×
+    per-query wall-time inflation vs the same tree at 0.89 — so the
+    flag trips below 0.70, not the original 0.60."""
     import multiprocessing as mp
     serial = _md5_rate()
     with mp.Pool(cpus) as pool:
@@ -170,7 +174,7 @@ def host_control(cpus: int) -> dict:
         "md5_serial_mhash_s": round(serial, 3),
         "md5_parallel_total_mhash_s": round(total, 3),
         "parallel_efficiency_vs_serial_x_cpus": round(eff, 3),
-        "host_suspect": bool(serial < 6.0 or eff < 0.6),
+        "host_suspect": bool(serial < 6.0 or eff < 0.7),
     }
 
 
@@ -276,17 +280,22 @@ def main() -> None:
     extended = ["text_c4_line_scrub", "dedup_dup_span_removal",
                 "dedup_cluster_quality_survivors", "text_nfc_normalize",
                 "dsir_weighted_sample"]
+    extended_r04 = ["text_html_extract", "dedup_cross_doc_paragraphs",
+                    "split_leakage_audit"]
     # build INSIDE the timed region: iterative queries (connected
     # components) execute their rounds during construction, so a
     # build-once/noop-twice split would undercount them
-    ext_trials = {n: [] for n in extended if n in catalog}
+    ext_trials = {n: [] for n in extended + extended_r04 if n in catalog}
     for _ in range(2):
         for name in ext_trials:
             t0 = time.time()
             run_noop(catalog[name](spark, SF_DIR))
             ext_trials[name].append(time.time() - t0)
     timings_extended = {n: round(min(ts), 3)
-                        for n, ts in ext_trials.items()}
+                        for n, ts in ext_trials.items() if n in extended}
+    timings_extended_r04 = {n: round(min(ts), 3)
+                            for n, ts in ext_trials.items()
+                            if n in extended_r04}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -301,6 +310,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_extended_r03": timings_extended,
+        "queries_extended_r04": timings_extended_r04,
         "sf": sf_val,
         "docs_filtered": n_docs,
         "docs_per_sec": docs_per_sec,
