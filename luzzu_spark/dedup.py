@@ -879,7 +879,12 @@ def remove_cross_doc_paragraphs(docs: DataFrame,
     wo = w.orderBy("_id", "_pos")
     marked = inst.select(
         "_id", "_pos", "_para",
-        ((F.min("_id").over(w) != F.max("_id").over(w))
+        # length > 0: consecutive blank lines / trailing \n\n split
+        # into EMPTY paragraphs, which every multi-blank-line doc
+        # "shares" — excising those would silently rewrite whitespace
+        # in docs that share no actual text (review r04)
+        ((F.length("_para") > 0)
+         & (F.min("_id").over(w) != F.max("_id").over(w))
          & (F.row_number().over(wo) > 1)).alias("_rm"))
     kept_struct = F.when(~F.col("_rm"), F.struct("_pos", "_para"))
     rebuilt = (marked.groupBy("_id")

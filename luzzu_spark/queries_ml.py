@@ -522,11 +522,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-_RANK_SELECT = """
+def _rank_select() -> str:
+    # divisor derived from RULE_ORDER like the verdict CTE's n_passed —
+    # a hardcoded 9 would silently diverge when a rule is added
+    from luzzu_spark.rules import spec
+    nr = len(spec.RULE_ORDER)
+    return f"""
 SELECT source,
-       CAST(tp AS DOUBLE) / (9 * n) AS mean_quality,
+       CAST(tp AS DOUBLE) / ({nr} * n) AS mean_quality,
        CAST(n AS BIGINT) AS n_docs,
-       CAST(RANK() OVER (ORDER BY CAST(tp AS DOUBLE) / (9 * n) DESC,
+       CAST(RANK() OVER (ORDER BY CAST(tp AS DOUBLE) / ({nr} * n) DESC,
                          source ASC) AS BIGINT) AS rank
 FROM (SELECT source, SUM(n_passed) AS tp, COUNT(*) AS n
       FROM verdict GROUP BY source) m
@@ -534,7 +539,8 @@ ORDER BY rank, source
 """
 
 
-@register("pipeline_rank_sources", oracle=_verdict_oracle_sql(_RANK_SELECT))
+@register("pipeline_rank_sources",
+          oracle=_verdict_oracle_sql(_rank_select()))
 def pipeline_rank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-driven source ranking (README.md:15 recast): rule-pass
     count per doc → exact mean per source → rank. Oracle-checked since

@@ -1002,7 +1002,8 @@ inst AS (
   SELECT doc_id, pos, ls[pos] AS para, md5(ls[pos]) AS ph FROM idx),
 marked AS (
   SELECT doc_id, pos, para,
-         CASE WHEN MIN(doc_id) OVER (PARTITION BY ph)
+         CASE WHEN len(para) > 0
+              AND MIN(doc_id) OVER (PARTITION BY ph)
                    <> MAX(doc_id) OVER (PARTITION BY ph)
               AND ROW_NUMBER() OVER (PARTITION BY ph
                                      ORDER BY doc_id, pos) > 1
@@ -1052,7 +1053,11 @@ def dedup_cross_doc_paragraphs(spark: SparkSession,
     wo = w.orderBy("doc_id", "pos")
     marked = inst.select(
         "doc_id", "pos", "para",
-        ((F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        # length > 0 mirrors dedup.remove_cross_doc_paragraphs: empty
+        # paragraphs (blank-line runs) are whitespace, not shared
+        # content — excising them rewrote no-shared-text docs
+        ((F.length("para") > 0)
+         & (F.min("doc_id").over(w) != F.max("doc_id").over(w))
          & (F.row_number().over(wo) > 1)).cast("int").alias("rm"))
     kept_struct = F.when(F.col("rm") == 0,
                          F.struct("pos", "para"))

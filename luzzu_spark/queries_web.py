@@ -1202,19 +1202,44 @@ def dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-@register("split_train_val_test", oracle="""
-WITH marked AS (
-  SELECT lang, n_chars,
-         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
-           AS k2
-  FROM documents)
+# content-hash split constants: first md5 byte out of 256 —
+# train < 204 (~80%), val < 230 (~10%), else test (~10%). ONE source
+# of truth for both engines and every query that keys on the split
+# (split_train_val_test, split_leakage_audit — review r04 found four
+# drifting copies of these thresholds).
+SPLIT_TRAIN_LT = 204
+SPLIT_VAL_LT = 230
+
+
+def content_split_expr():
+    """Spark column: 'train'/'val'/'test' from md5(text)'s first byte."""
+    m = F.md5("text")
+    k2 = ((F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1)
+          * 16
+          + (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(m, 2, 1)) - 1))
+    return (F.when(k2 < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(k2 < SPLIT_VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
+def content_split_sql() -> str:
+    """The identical split as a DuckDB scalar expression over `text`."""
+    return f"""CASE WHEN
+  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+  < {SPLIT_TRAIN_LT} THEN 'train' WHEN
+  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+  < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END"""
+
+
+@register("split_train_val_test", oracle=f"""
 SELECT lang,
-       CASE WHEN k2 < 204 THEN 'train'
-            WHEN k2 < 230 THEN 'val' ELSE 'test' END AS split,
+       {content_split_sql()} AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM marked GROUP BY lang, split ORDER BY lang, split
+FROM documents GROUP BY lang, split ORDER BY lang, split
 """)
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-way corpus split on the content hash —
@@ -1225,16 +1250,9 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle train/test (the leakage failure mode of random splits).
 
     Scale: a pushdown-able predicate + one hash-agg, zero joins."""
-    m = F.md5("text")
-    k2 = ((F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1)
-          * 16
-          + (F.instr(F.lit("0123456789abcdef"),
-                     F.substring(m, 2, 1)) - 1))
-    split = (F.when(k2 < 204, F.lit("train"))
-             .when(k2 < 230, F.lit("val"))
-             .otherwise(F.lit("test")))
     return (spread(load_table(spark, sf_dir, "documents"))
-            .select("lang", "n_chars", split.alias("split"))
+            .select("lang", "n_chars",
+                    content_split_expr().alias("split"))
             .groupBy("lang", "split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("sum_chars"))
@@ -1246,15 +1264,7 @@ def _leakage_oracle() -> str:
     return f"""
 WITH {_dd._minhash_pairs_ctes(0.5, _dd.LSH_BANDS)},
 splits AS (
-  SELECT doc_id,
-         CASE WHEN k2 < 204 THEN 'train'
-              WHEN k2 < 230 THEN 'val' ELSE 'test' END AS split
-  FROM (SELECT doc_id,
-               (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
-               * 16
-               + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
-                 AS k2
-        FROM documents))
+  SELECT doc_id, {content_split_sql()} AS split FROM documents)
 SELECT least(sa.split, sb.split) AS split_lo,
        greatest(sa.split, sb.split) AS split_hi,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -1285,15 +1295,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits side is a map-side projection joined twice on doc_id."""
     from luzzu_spark.dedup import minhash_dedup_pairs
     docs = spread(load_table(spark, sf_dir, "documents"))
-    m = F.md5("text")
-    k2 = ((F.instr(F.lit("0123456789abcdef"), F.substring(m, 1, 1)) - 1)
-          * 16
-          + (F.instr(F.lit("0123456789abcdef"),
-                     F.substring(m, 2, 1)) - 1))
-    split = (F.when(k2 < 204, F.lit("train"))
-             .when(k2 < 230, F.lit("val"))
-             .otherwise(F.lit("test")))
-    splits = docs.select("doc_id", split.alias("split"))
+    splits = docs.select("doc_id", content_split_expr().alias("split"))
     pairs = minhash_dedup_pairs(docs, threshold=0.5)
     sa = splits.select(F.col("doc_id").alias("id_a"),
                        F.col("split").alias("split_a"))

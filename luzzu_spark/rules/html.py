@@ -24,9 +24,16 @@ from pyspark.sql import functions as F
 
 # tags whose CONTENT must not leak into text
 _DROP_CONTENT_TAGS = ("script", "style", "noscript")
-# tag boundaries that imply a line break (block-level closers + br/li)
-_BLOCK_BREAK_RE = (r"(?i)<(?:br|li|tr|/p|/div|/h[1-6]|/li|/tr|/ul|/ol"
-                   r"|/table|/blockquote|/section|/article|p|div)[^>]*>")
+# comments vanish as a unit BEFORE tag stripping: a comment containing
+# '>' would otherwise leak its tail into the text (review r04)
+_COMMENT_RE = r"(?s)<!--.*?-->"
+# tag boundaries that imply a line break (block-level closers + br/li).
+# `(?:[\s/][^>]*)?>` after the name is a lookahead-free (Java∩RE2)
+# name boundary: `<li>`/`<li class=x>`/`<br/>` match, `<link>` does NOT
+# (review r04: prefix matching turned <link>/<pre>/<track> into breaks)
+_BLOCK_BREAK_RE = (r"(?i)<(?:br|li|tr|p|div|/p|/div|/h[1-6]|/li|/tr"
+                   r"|/ul|/ol|/table|/blockquote|/section|/article)"
+                   r"(?:[\s/][^>]*)?>")
 # entity → character, applied in this order; &amp; LAST so a literal
 # "&amp;lt;" decodes once to "&lt;", never twice to "<"
 ENTITIES: tuple[tuple[str, str], ...] = (
@@ -40,13 +47,15 @@ def html_to_text_expr(col: str | Column) -> Column:
 
     Steps (each a global regexp/replace both engines implement
     identically):
-      1. drop <script>/<style>/<noscript> elements with their content
-      2. block-level boundaries → newline
-      3. strip every remaining tag → space
-      4. decode the six common entities (&amp; last)
-      5. collapse horizontal whitespace; tidy newline spacing; trim
+      1. drop <!-- comments --> as a unit
+      2. drop <script>/<style>/<noscript> elements with their content
+      3. block-level boundaries → newline
+      4. strip every remaining tag → space
+      5. decode the six common entities (&amp; last)
+      6. collapse horizontal whitespace; tidy newline spacing; trim
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _COMMENT_RE, " ")
     for tag in _DROP_CONTENT_TAGS:
         c = F.regexp_replace(c, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
     c = F.regexp_replace(c, _BLOCK_BREAK_RE, "\n")
@@ -66,6 +75,7 @@ def html_to_text_oracle(expr: str) -> str:
     DuckDB ('g'; Spark is always-global), and the flag string carries
     the inline (?is) modifiers' job for the tag rules."""
     c = expr
+    c = f"regexp_replace({c}, '{_COMMENT_RE}', ' ', 'g')"
     for tag in _DROP_CONTENT_TAGS:
         c = (f"regexp_replace({c}, '(?is)<{tag}[^>]*>.*?</{tag}>',"
              f" ' ', 'g')")

@@ -176,17 +176,27 @@ def _wet_records(raw: DataFrame,
     payload = F.expr(
         "substring(value, length(substring_index(value, '\r\n\r\n', 1))"
         " + 5)")
+    # [ \t]* (not \s*): \s crosses the CRLF line boundary, so an EMPTY
+    # header value would capture the NEXT header's name as the value
+    # ('WARC-Target-URI:\r\nWARC-Date: ...' -> url='WARC-Date:')
     hdr = lambda name: F.regexp_extract(  # noqa: E731
-        header, r"(?m)^" + name + r":\s*(\S+)", 1)
+        header, r"(?m)^" + name + r":[ \t]*(\S+)", 1)
     rec = (raw
            .where(F.length("value") > 0)
            .select(
                hdr("WARC-Type").alias("warc_type"),
                hdr("WARC-Target-URI").alias("url"),
-               F.to_timestamp(hdr("WARC-Date")).alias("ts"),
+               # try_to_timestamp: a single record with a missing or
+               # garbage WARC-Date must yield a NULL ts, not abort a
+               # 64k-file ingest under ANSI (crawl feeds contain
+               # garbage — the module's own keep_corrupt stance)
+               F.try_to_timestamp(hdr("WARC-Date")).alias("ts"),
                hdr("WARC-Record-ID").alias("record_id"),
                F.regexp_replace(payload, r"(\r\n)+$", "").alias("text"))
-           .where(F.col("warc_type").isin(*record_types)))
+           .where(F.col("warc_type").isin(*record_types)
+                  # a typed record with NO Target-URI is malformed;
+                  # drop it rather than emit url='' rows
+                  & (F.length("url") > 0)))
     return rec.select(
         "url",
         F.col("ts").alias("warc_ts"),

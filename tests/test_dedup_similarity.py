@@ -809,3 +809,18 @@ def test_remove_cross_doc_paragraphs_fully_duplicated(spark):
            for r in remove_cross_doc_paragraphs(docs).collect()}
     assert out[1] == "Only para."
     assert out[2] == ""                          # empties out -> filter drops
+
+
+def test_remove_cross_doc_paragraphs_blank_runs_untouched(spark):
+    """Empty paragraphs (blank-line runs / trailing separators) are
+    whitespace, not shared content (review r04): two docs sharing ONLY
+    the empty paragraph between \\n\\n\\n\\n must both rebuild
+    byte-identically."""
+    from luzzu_spark.dedup import remove_cross_doc_paragraphs
+    rows = [(1, "alpha one.\n\n\n\nbeta one."),
+            (2, "gamma two.\n\n\n\ndelta two."),
+            (3, "tail blank.\n\n")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_cross_doc_paragraphs(docs).collect()}
+    assert out == dict((d, t) for d, t in rows)

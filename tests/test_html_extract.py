@@ -113,3 +113,46 @@ def test_read_corpus_routes_warc(spark, warc_path):
     docs = read_corpus(spark, warc_path)
     assert docs.count() == 1
     assert "html" in docs.columns
+
+
+def test_comments_dropped_as_unit(spark):
+    """A comment containing '>' must vanish whole, not leak its tail
+    (review r04): commented-out markup and ad/analytics boilerplate
+    would otherwise contaminate the text the rules consume."""
+    cases = ["<p>hi</p><!-- if width > 600 show banner --><p>bye</p>",
+             "<!--\nmulti\nline > comment\n-->kept"]
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, html string")
+    out = {r["i"]: r["t"] for r in
+           df.select("i", html_to_text_expr("html").alias("t")).collect()}
+    assert out[0] == "hi\n\nbye"   # </p> and <p> both break; comment gone
+    assert out[1] == "kept"
+    # and the oracle replays it identically
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (0, ?), (1, ?))"
+                " v(i, html)", cases)
+    want = dict(con.execute(
+        f"SELECT i, {html_to_text_oracle('html')} FROM t").fetchall())
+    assert out == want
+
+
+def test_block_break_needs_name_boundary(spark):
+    """<link>/<pre>/<track> must NOT break lines (prefix-matching bug,
+    review r04): only the listed block tags themselves do."""
+    cases = ['before<link rel="stylesheet">after',
+             "a<pre>code</pre>b",
+             "x<li>item</li>y",          # real <li> still breaks
+             "m<br/>n"]                   # self-closing br still breaks
+    df = spark.createDataFrame(list(enumerate(cases)), "i int, html string")
+    out = {r["i"]: r["t"] for r in
+           df.select("i", html_to_text_expr("html").alias("t")).collect()}
+    assert "\n" not in out[0] and "after" in out[0]
+    assert "\n" not in out[1] and "code" in out[1]
+    assert "\n" in out[2]
+    assert out[3] == "m\nn"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, ?)" for i in range(len(cases)))
+                + ") v(i, html)", cases)
+    want = dict(con.execute(
+        f"SELECT i, {html_to_text_oracle('html')} FROM t").fetchall())
+    assert out == want

@@ -404,3 +404,35 @@ def test_wet_stream_full_filter_composition(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_read_wet_tolerates_malformed_records(spark, tmp_path):
+    """One corrupt record must not abort a crawl ingest (review r04):
+    a garbage/missing WARC-Date yields a NULL warc_ts under ANSI
+    (try_to_timestamp), an empty Target-URI drops the record, and an
+    empty header value must not capture the NEXT header line as its
+    value (the \\s*-crosses-CRLF regex bug)."""
+    from luzzu_spark.sources import read_wet
+    wet = (
+        # good record, garbage date -> kept, NULL ts
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://ok.example/a\r\n"
+        "WARC-Date: not-a-date\r\n"
+        "WARC-Record-ID: <urn:uuid:1>\r\n\r\nbody a\r\n\r\n"
+        # no date header at all -> kept, NULL ts
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://ok.example/b\r\n"
+        "WARC-Record-ID: <urn:uuid:2>\r\n\r\nbody b\r\n\r\n"
+        # EMPTY Target-URI (value on next line would be captured by a
+        # \\s* regex) -> dropped as malformed
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI:\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:3>\r\n\r\nbody c\r\n\r\n")
+    p = tmp_path / "bad.wet"
+    p.write_bytes(wet.encode("utf-8"))
+    rows = {r["url"]: r for r in read_wet(spark, str(p)).collect()}
+    assert set(rows) == {"http://ok.example/a", "http://ok.example/b"}
+    assert rows["http://ok.example/a"]["warc_ts"] is None
+    assert rows["http://ok.example/b"]["warc_ts"] is None
+    assert rows["http://ok.example/a"]["text"] == "body a"
