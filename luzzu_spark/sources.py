@@ -152,13 +152,27 @@ def read_warc_html(spark: SparkSession,
     the declarative extraction (rules/html.py) — the same page shape
     `as_webpages` synthesizes, fed by real crawl data. This is the
     upstream twin of read_wet: WET files ARE this transform,
-    precomputed by Common Crawl."""
+    precomputed by Common Crawl.
+
+    A ``robots_noindex`` boolean column flags pages whose markup
+    declares ``<meta name="robots" ... noindex ...>`` (or an
+    ``X-Robots-Tag: noindex`` HTTP header) — publishers' opt-out
+    signal; training pipelines typically drop these
+    (``pages.where(~F.col("robots_noindex"))``). Detection is a
+    Catalyst regex over the raw record, so the column costs nothing
+    extra at scale."""
     import pyspark.sql.functions as F
     from luzzu_spark.rules.html import html_to_text_expr
     pages = read_wet(spark, path, record_types=("response",))
     body = F.expr("substring(text, length(substring_index("
                   "text, '\r\n\r\n', 1)) + 5)")
+    meta_noindex = F.col("text").rlike(
+        r"(?is)<meta[^>]*(\brobots\b[^>]*\bnoindex\b"
+        r"|\bnoindex\b[^>]*\brobots\b)[^>]*>")
+    header_noindex = F.substring_index("text", "\r\n\r\n", 1).rlike(
+        r"(?im)^X-Robots-Tag:.*\bnoindex\b")
     return (pages
+            .withColumn("robots_noindex", meta_noindex | header_noindex)
             .withColumn("html", F.encode(body, "UTF-8"))
             .withColumn("text", html_to_text_expr(body))
             .withColumn("n_chars", F.length("text").cast("long")))

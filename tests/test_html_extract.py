@@ -156,3 +156,36 @@ def test_block_break_needs_name_boundary(spark):
     want = dict(con.execute(
         f"SELECT i, {html_to_text_oracle('html')} FROM t").fetchall())
     assert out == want
+
+
+def test_robots_noindex_flag(spark, tmp_path):
+    """Publishers' opt-out signal: meta-robots noindex (any attribute
+    order) and the X-Robots-Tag HTTP header both flag; ordinary pages
+    don't; a 'noindex' WORD in body text doesn't."""
+    from luzzu_spark.sources import read_warc_html
+
+    def rec(i, http_headers, body):
+        return ("WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://x.example/{i}\r\n"
+                "WARC-Date: 2026-02-03T04:05:06Z\r\n"
+                f"WARC-Record-ID: <urn:uuid:r{i}>\r\n\r\n"
+                "HTTP/1.1 200 OK\r\n" + http_headers + "\r\n"
+                + body + "\r\n\r\n")
+
+    warc = (
+        rec(0, "Content-Type: text/html\r\n",
+            '<html><head><meta name="robots" content="noindex, nofollow">'
+            "</head><body><p>opted out</p></body></html>")
+        + rec(1, "Content-Type: text/html\r\n",
+              '<html><head><meta content="NOINDEX" name="ROBOTS"/></head>'
+              "<body><p>attr order + case</p></body></html>")
+        + rec(2, "Content-Type: text/html\r\nX-Robots-Tag: noindex\r\n",
+              "<html><body><p>header opt-out</p></body></html>")
+        + rec(3, "Content-Type: text/html\r\n",
+              "<html><body><p>the word noindex in prose is fine"
+              "</p></body></html>"))
+    p = tmp_path / "robots.warc"
+    p.write_bytes(warc.encode("utf-8"))
+    rows = {r["url"].rsplit("/", 1)[-1]: r["robots_noindex"]
+            for r in read_warc_html(spark, str(p)).collect()}
+    assert rows == {"0": True, "1": True, "2": True, "3": False}
