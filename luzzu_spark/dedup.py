@@ -41,6 +41,8 @@ catalog wrappers (queries_ml.py), not in the 10^12-row path.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -136,6 +138,12 @@ def _token_hashes_replayable(flat: np.ndarray) -> np.ndarray:
 
 # ---- vectorized signature kernels (one Arrow batch at a time) -----------
 
+# Java \s == RE2 \s == exactly these six ASCII chars. Python str.split()
+# additionally treats \x1c-\x1f, \x85, \xa0, U+2000… as whitespace —
+# using it here would misalign token positions vs the Catalyst
+# split(trim, '\s+') excision pass on any web doc containing NBSP.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
                       space_split: bool = False,
                       replayable: bool = False):
@@ -159,9 +167,14 @@ def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
     ``space_split=True`` tokenizes exactly like the catalog's
     Catalyst form ``filter(split(trim(text), ' '), x -> x != '')`` —
     literal single-space separators, empties dropped, newlines/tabs
-    KEPT inside tokens; the default splits on any whitespace run
-    (Python str.split — ≡ Spark split(trim, '\\s+') for ASCII text,
-    the same assumption rules/perplexity.py documents).
+    KEPT inside tokens; the default splits on exactly Java's ``\\s``
+    set ``[ \\t\\n\\x0b\\f\\r]+`` (≡ DuckDB/RE2 ``\\s``), so the
+    token stream is IDENTICAL to Spark ``split(trim(text), '\\s+')``
+    and to the SQL oracles for every input, including non-ASCII
+    whitespace (NBSP, U+3000, \\x85 stay INSIDE tokens on all three
+    engines — Python ``str.split()``, which splits on Unicode
+    whitespace, silently misaligned span positions on such docs;
+    ADVICE r04 high).
 
     Returns (h, starts, m_per_doc): h = valid shingle hashes
     (concatenated per doc), starts = offset of each doc's first shingle
@@ -170,7 +183,9 @@ def _shingle_segments(texts: pd.Series, n: int = SHINGLE_N,
         token_lists = texts.fillna("").map(
             lambda s: [t for t in s.strip(" ").split(" ") if t])
     else:
-        token_lists = texts.fillna("").str.split()
+        split = _JAVA_WS.split
+        token_lists = texts.fillna("").map(
+            lambda s: [t for t in split(s) if t])
     lens = token_lists.str.len().to_numpy(dtype=np.int64)
     n_docs = len(texts)
     m_per_doc = np.maximum(lens - n + 1, 0)
@@ -927,10 +942,12 @@ def remove_dup_spans(docs: DataFrame, n: int = 20,
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda x: x != "")
     d = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-    # flagging pass: one vectorized Arrow stage over the raw text
-    # (whitespace tokenization ≡ the \s+ split above for ASCII text —
-    # the same assumption rules/perplexity.py documents); replaces the
-    # interpreted per-position md5 HOF (VERDICT r03 item 4)
+    # flagging pass: one vectorized Arrow stage over the raw text.
+    # space_split=False tokenizes on exactly Java's \s set, so flagged
+    # positions index the SAME token array the \s+ split above builds
+    # for every input including non-ASCII whitespace (ADVICE r04 high:
+    # Python str.split() misaligned the two streams on NBSP docs);
+    # replaces the interpreted per-position md5 HOF (VERDICT r03 #4)
     occ = (docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(span_hash_udf(n, space_split=False)(

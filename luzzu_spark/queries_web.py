@@ -1858,7 +1858,8 @@ SELECT source, sum_chars, target_chars,
             AS BIGINT) AS epochs_x1000,
        CASE WHEN 1000.0 * target_chars / sum_chars
                  > {_MIX_EPOCH_CAP_X1000} THEN
-         CAST(target_chars - sum_chars * 4 AS BIGINT)
+         CAST(target_chars
+              - (sum_chars * {_MIX_EPOCH_CAP_X1000}) // 1000 AS BIGINT)
        ELSE CAST(0 AS BIGINT) END AS unfilled_chars
 FROM plan ORDER BY source
 """)
@@ -1896,9 +1897,15 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.least(F.lit(_MIX_EPOCH_CAP_X1000),
                             F.floor(ratio_x1000)).cast("long")
                     .alias("epochs_x1000"),
+                    # capped volume derives from the cap constant —
+                    # BIGINT-exact (x*cap DIV 1000; Spark DIV truncates
+                    # toward zero ≡ DuckDB // floor on nonneg), so the
+                    # epochs_x1000 and unfilled_chars columns can never
+                    # drift if the cap changes (ADVICE r04)
                     F.when(ratio_x1000 > _MIX_EPOCH_CAP_X1000,
-                           (F.col("target_chars")
-                            - F.col("sum_chars") * 4).cast("long"))
+                           F.col("target_chars")
+                           - F.expr(f"sum_chars * {_MIX_EPOCH_CAP_X1000}"
+                                    " DIV 1000").cast("long"))
                     .otherwise(F.lit(0).cast("long"))
                     .alias("unfilled_chars"))
             .orderBy("source"))

@@ -119,8 +119,16 @@ def read_wet(spark: SparkSession, path: str | list[str],
       matches the record delimiter and parses to ZERO conversion rows
       — if a nonempty crawl yields an empty frame, check the framing
       bytes first.
+    - The record delimiter is the literal ``WARC/1.0\\r\\n`` version
+      line — the only version Common Crawl has ever shipped. A
+      WARC/1.1 (or other-version) file would otherwise parse as ONE
+      row and silently yield zero docs, so the reader sniffs the first
+      LOCAL file's magic bytes and RAISES on a version mismatch
+      (remote URIs skip the sniff — same silent-empty caveat applies;
+      ADVICE r04).
     """
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    _check_warc_version(paths)
     raw = spark.read.option("lineSep", "WARC/1.0\r\n").text(paths)
     return _wet_records(raw, record_types)
 
@@ -178,6 +186,41 @@ def read_warc_html(spark: SparkSession,
             .withColumn("n_chars", F.length("text").cast("long")))
 
 
+def _check_warc_version(paths: list[str]) -> None:
+    """Driver-side magic-byte sniff: the first readable LOCAL file must
+    open with ``WARC/1.0`` — any other WARC version line would never
+    match the record delimiter and the whole crawl would parse to ZERO
+    rows with no error (ADVICE r04). Remote URIs and unreadable paths
+    are skipped (no driver-side I/O to them); Spark's own reader will
+    surface genuinely missing paths."""
+    import glob
+    import gzip
+    for p in paths:
+        if _is_remote(p):
+            continue
+        local = p[len("file://"):] if p.startswith("file://") else p
+        cands = ([os.path.join(local, n) for n in sorted(os.listdir(local))]
+                 if os.path.isdir(local) else sorted(glob.glob(local))
+                 if any(c in local for c in "*?[") else [local])
+        for f in cands:
+            if not os.path.isfile(f):
+                continue
+            try:
+                opener = gzip.open if f.lower().endswith(".gz") else open
+                with opener(f, "rb") as fh:
+                    head = fh.read(10)
+            except OSError:
+                continue
+            if head.startswith(b"WARC/") and not head.startswith(
+                    b"WARC/1.0\r\n"):
+                raise ValueError(
+                    f"{f!r} opens with {head!r}: only WARC/1.0 framing "
+                    "is supported (the record delimiter is the literal "
+                    "version line; other versions would silently parse "
+                    "to zero records)")
+            return  # first readable file decides; one sniff is enough
+
+
 def _wet_records(raw: DataFrame,
                  record_types: tuple[str, ...]) -> DataFrame:
     """Header/payload extraction shared by the batch and stream WET
@@ -206,7 +249,12 @@ def _wet_records(raw: DataFrame,
                # garbage — the module's own keep_corrupt stance)
                F.try_to_timestamp(hdr("WARC-Date")).alias("ts"),
                hdr("WARC-Record-ID").alias("record_id"),
-               F.regexp_replace(payload, r"(\r\n)+$", "").alias("text"))
+               # strip exactly the TWO framing CRLFs the WARC record
+               # boundary adds — not every trailing CRLF run: a
+               # conversion payload legitimately ending in its own
+               # blank line keeps that content, matching a
+               # Content-Length-faithful reader (ADVICE r04)
+               F.regexp_replace(payload, r"\r\n\r\n$", "").alias("text"))
            .where(F.col("warc_type").isin(*record_types)
                   # a typed record with NO Target-URI is malformed;
                   # drop it rather than emit url='' rows

@@ -650,6 +650,29 @@ def test_remove_dup_spans_excises_shared_block(spark):
     assert got[6] == multiline  # verbatim, not a canonical rejoin
 
 
+def test_remove_dup_spans_nonascii_whitespace(spark):
+    """ADVICE r04 high regression: the flagging pass (Arrow UDF) and
+    the excision pass (Catalyst split(trim, '\\s+')) must tokenize
+    IDENTICALLY on non-ASCII whitespace. A doc whose unique prefix
+    contains NBSP (\\xa0) / U+3000 / NEL (\\x85) — all Unicode
+    whitespace to Python str.split() but NOT to Java \\s — previously
+    misaligned token positions: the shared block was silently RETAINED
+    (or the wrong tokens excised). Java \\s+ keeps NBSP inside a
+    token, so 'a1\\xa0a2' is ONE token on both streams."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    # NBSP-glued pairs: Python str.split() would see 8 tokens here,
+    # Java \s+ sees 4 — a 4-position shift over the flagged block
+    pa = "a1\xa0a2 b1　b2 c1\x85c2 d1\x1dd2"
+    pb = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{pa} {shared}"), (2, f"{pb} {shared}")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.remove_dup_spans(docs).collect()}
+    assert got[1] == "a1\xa0a2 b1　b2 c1\x85c2 d1\x1dd2"
+    assert got[2] == pb
+
+
 def test_remove_dup_spans_matches_python_reference(spark):
     """Property test: remove_dup_spans ≡ a brute-force Python
     reference on random small-alphabet corpora (tiny alphabet forces
@@ -728,7 +751,8 @@ def test_replayable_signature_kernels_match_python_reference():
                    for i, c in enumerate(tok[:dedup._REPLAY_LMAX])) % P
 
     def shingles(text: str) -> list[int]:
-        th = [tok_hash(t) for t in (text or "").split()]
+        th = [tok_hash(t)
+              for t in dedup._JAVA_WS.split(text or "") if t]
         out = []
         for j in range(len(th) - N + 1):
             lo = sum(th[j + k] * pow(dedup._C_LO, k, P) % P

@@ -276,6 +276,50 @@ def test_read_wet_parses_records(spark, wet_path):
     assert len(set(ids)) == 2
 
 
+def test_read_wet_keeps_payload_trailing_blank_line(spark, tmp_path):
+    """ADVICE r04: only the TWO framing CRLFs are stripped — a
+    conversion payload that legitimately ends with its own \\r\\n
+    (trailing blank line) keeps that content, so text/n_chars/doc_id
+    agree with a Content-Length-faithful reader."""
+    from luzzu_spark.sources import read_wet
+    payload = "Body line.\r\n"  # 12 bytes, ends with its own CRLF
+    rec = ("WARC/1.0\r\n"
+           "WARC-Type: conversion\r\n"
+           "WARC-Target-URI: http://t.example/x\r\n"
+           "WARC-Date: 2026-01-02T03:04:08Z\r\n"
+           "WARC-Record-ID: <urn:uuid:rec-t>\r\n"
+           f"Content-Length: {len(payload.encode())}\r\n"
+           "\r\n"
+           f"{payload}"
+           "\r\n\r\n")
+    p = tmp_path / "trail.wet"
+    p.write_bytes(rec.encode("utf-8"))
+    row = read_wet(spark, str(p)).collect()[0]
+    assert row["text"] == "Body line.\r\n"
+    assert row["n_chars"] == len(payload)
+
+
+def test_read_wet_rejects_warc_11(spark, tmp_path):
+    """A WARC/1.1 file never matches the WARC/1.0 record delimiter and
+    would silently parse to ZERO docs — the reader must raise on the
+    version line instead (ADVICE r04). Gzip members are sniffed too."""
+    import gzip
+
+    from luzzu_spark.sources import read_wet
+    body = _WET.replace("WARC/1.0", "WARC/1.1").encode("utf-8")
+    p = tmp_path / "part-000.wet"
+    p.write_bytes(body)
+    with pytest.raises(ValueError, match="WARC/1.0"):
+        read_wet(spark, str(p))
+    gz = tmp_path / "part-001.wet.gz"
+    gz.write_bytes(gzip.compress(body))
+    with pytest.raises(ValueError, match="WARC/1.0"):
+        read_wet(spark, str(gz))
+    # directory form: first readable file decides
+    with pytest.raises(ValueError, match="WARC/1.0"):
+        read_wet(spark, str(tmp_path))
+
+
 def test_read_wet_gzip_transparent(spark, wet_path, tmp_path):
     import gzip
     from luzzu_spark.sources import read_wet
