@@ -26,6 +26,10 @@ RULE_FACETS: dict[str, tuple[str, str]] = {
     "dup_ngram_frac": ("intrinsic", "conciseness"),
     "langid_conf": ("contextual", "understandability"),
     "perplexity": ("contextual", "naturalness"),
+    # opt-in compliance rule (registry.robots_noindex_rule); absent
+    # from the default registry, so the frozen daQ hierarchy output is
+    # unchanged unless --drop-noindex registers it
+    "robots_noindex": ("accessibility", "licensing"),
 }
 
 

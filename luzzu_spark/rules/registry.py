@@ -163,6 +163,26 @@ def sql_rule(name: str, score_sql: str, fire_when_sql: str,
         description=description or f"user SQL rule: {score_sql}")
 
 
+def robots_noindex_rule() -> Rule:
+    """Crawl-compliance rule over the ``robots_noindex`` column the
+    raw-WARC reader computes (sources.read_warc_html): pages whose
+    markup opts out of indexing (meta robots noindex / X-Robots-Tag)
+    DROP, with the drop funnel-counted like any other rule —
+    drop_reasons gains 'robots_noindex', the firing rate lands in the
+    daQ observations, and the problem report carries one row per
+    opted-out page. Registered only when the caller asks
+    (run_filter.py --drop-noindex / build_corpus.py --drop-noindex):
+    the frozen RULESPEC byte-identity contract is untouched by
+    default, and non-WARC inputs have no such column."""
+    return Rule(
+        name="robots_noindex", deps=("robots_noindex",),
+        score=lambda: F.coalesce(
+            F.col("robots_noindex").cast("double"), F.lit(0.0)),
+        fires=lambda s: s >= F.lit(1.0),
+        description="publisher opt-out: meta robots noindex in <head> "
+                    "or X-Robots-Tag: noindex HTTP header")
+
+
 def extended_registry(*extra: Rule) -> RuleRegistry:
     """The frozen default rule-set plus user-declared rules (e.g. from
     :func:`sql_rule`)."""

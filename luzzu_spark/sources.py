@@ -165,16 +165,28 @@ def read_warc_html(spark: SparkSession,
     A ``robots_noindex`` boolean column flags pages whose markup
     declares ``<meta name="robots" ... noindex ...>`` (or an
     ``X-Robots-Tag: noindex`` HTTP header) — publishers' opt-out
-    signal; training pipelines typically drop these
-    (``pages.where(~F.col("robots_noindex"))``). Detection is a
-    Catalyst regex over the raw record, so the column costs nothing
-    extra at scale."""
+    signal; drop them with ``run_filter.py --drop-noindex`` (wired as
+    a pipeline rule, so the drop is funnel-counted and lands in the
+    daQ metrics) or manually via
+    ``pages.where(~F.col("robots_noindex"))``. Detection is a
+    Catalyst regex, so the column costs nothing extra at scale.
+    Semantics (pinned by tests/test_html_extract.py): the meta scan is
+    restricted to the document's ``<head>`` region (everything up to
+    the first ``</head``, case-insensitive) — robots processors only
+    honor head-level meta robots, and a page QUOTING a literal
+    noindex tag in a body ``<pre>``/code example must not
+    false-positive (VERDICT r04). Headless markup falls back to a
+    whole-body scan (a real meta tag in malformed HTML still flags)."""
     import pyspark.sql.functions as F
     from luzzu_spark.rules.html import html_to_text_expr
     pages = read_wet(spark, path, record_types=("response",))
     body = F.expr("substring(text, length(substring_index("
                   "text, '\r\n\r\n', 1)) + 5)")
-    meta_noindex = F.col("text").rlike(
+    head_end = F.locate("</head", F.lower(body))  # 1-based; 0 = absent
+    head_slice = F.when(head_end > 0,
+                        F.substring(body, F.lit(1), head_end)) \
+                  .otherwise(body)
+    meta_noindex = head_slice.rlike(
         r"(?is)<meta[^>]*(\brobots\b[^>]*\bnoindex\b"
         r"|\bnoindex\b[^>]*\brobots\b)[^>]*>")
     header_noindex = F.substring_index("text", "\r\n\r\n", 1).rlike(

@@ -86,6 +86,12 @@ def build_args() -> argparse.Namespace:
                         "instance (RefinedWeb/MassiveText scrub, "
                         "dedup.remove_cross_doc_paragraphs); docs "
                         "losing nothing rebuild byte-identically")
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="drop pages whose markup opts out of indexing "
+                        "(meta robots noindex / X-Robots-Tag header); "
+                        "needs the robots_noindex column the raw-WARC "
+                        "reader computes — the drop is a quality rule, "
+                        "funnel-counted under noindex_flagged")
     p.add_argument("--survivor-policy", choices=["first", "quality"],
                    default="first",
                    help="near-dup survivor: 'first' keeps the lowest "
@@ -144,9 +150,20 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         pages = as_webpages(pages, inject_pii=args.inject_pii)
     funnel["input"] = pages.count()
 
-    kept = QualityPipeline(
-        line_scrub=getattr(args, "line_scrub", False)
-    ).filtered(pages)
+    pipe_kwargs: dict = {"line_scrub": getattr(args, "line_scrub", False)}
+    if getattr(args, "drop_noindex", False):
+        if "robots_noindex" not in pages.columns:
+            raise ValueError(
+                "--drop-noindex needs a robots_noindex column — only "
+                "the raw-WARC reader computes it; ingest a .warc crawl "
+                "or precompute the column")
+        from luzzu_spark.rules.registry import (extended_registry,
+                                                robots_noindex_rule)
+        pipe_kwargs["registry"] = extended_registry(robots_noindex_rule())
+        funnel["noindex_flagged"] = pages.where(
+            F.col("robots_noindex")).count()
+
+    kept = QualityPipeline(**pipe_kwargs).filtered(pages)
     funnel["quality_kept"] = kept.count()
 
     kept = dedup.exact_dedup(kept)

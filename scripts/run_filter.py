@@ -55,9 +55,17 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--as-webpages", action="store_true",
                    help="lift a documents-schema input to the page shape")
     p.add_argument("--input-format", default=None,
-                   choices=["parquet", "json", "csv"],
+                   choices=["parquet", "orc", "json", "csv", "wet",
+                            "warc"],
                    help="corpus serialization (default: sniff from the "
                         "path; remote dirs must pass this explicitly)")
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="drop pages whose markup opts out of indexing "
+                        "(meta robots noindex in <head> / X-Robots-Tag "
+                        "header) — needs the robots_noindex column the "
+                        "raw-WARC reader computes; the drop is a "
+                        "pipeline rule, so it is funnel-counted in "
+                        "drop_reasons / firing rates / daQ metrics")
     p.add_argument("--input-schema", default=None,
                    help="DDL schema for json/csv inputs (default: the "
                         "documents corpus shape)")
@@ -138,11 +146,16 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         sniff_format
 
     extra = getattr(args, "sql_rule", None)
+    extra_rules = []
     if extra:
-        from luzzu_spark.rules.registry import (extended_registry,
-                                                sql_rule)
-        registry = extended_registry(
-            *[sql_rule(n, sc, fw) for n, sc, fw in extra])
+        from luzzu_spark.rules.registry import sql_rule
+        extra_rules += [sql_rule(n, sc, fw) for n, sc, fw in extra]
+    if getattr(args, "drop_noindex", False):
+        from luzzu_spark.rules.registry import robots_noindex_rule
+        extra_rules.append(robots_noindex_rule())
+    if extra_rules:
+        from luzzu_spark.rules.registry import extended_registry
+        registry = extended_registry(*extra_rules)
     else:
         from luzzu_spark.rules.registry import default_registry
         registry = default_registry()
@@ -202,6 +215,17 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     corpus = read_corpus(spark, args.input, schema=schema, fmt=fmt)
     n_docs = corpus.count()
+    n_noindex = None
+    if getattr(args, "drop_noindex", False):
+        if "robots_noindex" not in corpus.columns:
+            raise ValueError(
+                "--drop-noindex needs a robots_noindex column — only "
+                "the raw-WARC reader computes it (input format "
+                f"{fmt!r} does not); ingest the crawl with "
+                "--input-format warc or precompute the column")
+        # funnel number for the run report; the actual drop happens in
+        # the registered rule (counted per-batch in drop_reasons too)
+        n_noindex = corpus.where(F.col("robots_noindex")).count()
     result: dict = {}
     if args.bench:
         assessed = prepare(corpus)
@@ -229,6 +253,8 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
                   "batches": summary["planned"],
                   "complete": summary["complete"],
                   "master": spark.conf.get("spark.master")}
+        if n_noindex is not None:
+            result["noindex_flagged"] = n_noindex
         print(f"# run {i}: {result['docs_per_sec']} docs/sec "
               f"({sec:.1f}s, {summary['planned']} batches)",
               file=sys.stderr)

@@ -189,3 +189,157 @@ def test_robots_noindex_flag(spark, tmp_path):
     rows = {r["url"].rsplit("/", 1)[-1]: r["robots_noindex"]
             for r in read_warc_html(spark, str(p)).collect()}
     assert rows == {"0": True, "1": True, "2": True, "3": False}
+
+
+def _rec(i: int, body: str, http_headers: str = "") -> str:
+    return ("WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: http://x.example/{i}\r\n"
+            "WARC-Date: 2026-02-03T04:05:06Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n\r\n"
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + http_headers + "\r\n" + body + "\r\n\r\n")
+
+
+def test_robots_noindex_quoted_tag_semantics(spark, tmp_path):
+    """Head-restricted detection (VERDICT r04): a docs page QUOTING a
+    literal noindex tag inside a body <pre>/code example must NOT
+    flag; a head-level tag still flags with such a <pre> present; and
+    headless markup falls back to a whole-body scan, so a real meta
+    tag in malformed HTML still flags."""
+    from luzzu_spark.sources import read_warc_html
+
+    warc = (
+        _rec(0,  # prose page quoting the tag in a body code sample
+             "<html><head><title>How to opt out</title></head><body>"
+             "<p>Add this tag inside your page head:</p>"
+             '<pre><meta name="robots" content="noindex"></pre>'
+             "</body></html>")
+        + _rec(1,  # headless page carrying a REAL meta robots tag
+               '<meta name="robots" content="noindex">'
+               "<p>page with no head element</p>")
+        + _rec(2,  # head-level tag flags even with a body <pre>
+               '<html><head><meta name="robots" content="noindex">'
+               "</head><body><pre>unrelated code</pre></body></html>"))
+    p = tmp_path / "quoted.warc"
+    p.write_bytes(warc.encode("utf-8"))
+    rows = {r["url"].rsplit("/", 1)[-1]: r["robots_noindex"]
+            for r in read_warc_html(spark, str(p)).collect()}
+    assert rows == {"0": False, "1": True, "2": True}
+
+
+def _keeping_text(spark) -> str:
+    """Text of a fixture doc the default pipeline keeps, free of
+    markup-significant characters so HTML extraction is an identity."""
+    from luzzu_spark.fixtures import as_webpages, load_table
+    from luzzu_spark.pipeline import QualityPipeline
+    docs = load_table(spark, "/root/testdata/sf0.001",
+                      "documents").where("doc_id < 40")
+    kept = QualityPipeline().filtered(as_webpages(docs))
+    for r in kept.select("text").collect():
+        t = r["text"]
+        if ("&" not in t and "<" not in t and "\n" not in t
+                and len(t) > 200):
+            return t
+    raise AssertionError("no suitable kept fixture doc")
+
+
+def test_drop_noindex_end_to_end(spark, tmp_path):
+    """--drop-noindex wired as a pipeline rule: the planted noindex
+    pages (meta AND header variants) drop end-to-end through the CLI
+    run, the funnel JSON counts them, the clean twin with IDENTICAL
+    body text survives, and the drop lands in the per-rule firing
+    rates + daQ observations under accessibility/licensing."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.checkpoint import ResumableRun
+    from luzzu_spark.metrics import observations, rule_firing_rates
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.rules.registry import (extended_registry,
+                                            robots_noindex_rule)
+    from luzzu_spark.sources import read_warc_html
+
+    text = _keeping_text(spark)
+    body = f"<html><head></head><body><p>{text}</p></body></html>"
+    warc = (
+        _rec(0, body)
+        + _rec(1, ('<html><head><meta name="robots" content="noindex">'
+                   f"</head><body><p>{text}</p></body></html>"))
+        + _rec(2, body, http_headers="X-Robots-Tag: noindex\r\n"))
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(warc.encode("utf-8"))
+
+    out_dir = str(tmp_path / "out")
+    res = rf.run_job(spark, argparse.Namespace(
+        input=str(p), output=out_dir, master=None, batch_size=8,
+        repeat=1, as_webpages=False, input_format=None,
+        input_schema=None, inject_pii=False, salt_buckets=0,
+        seen_table=None, commit_bucket_table=None, bucket_path=None,
+        n_buckets=4, json=False, bench=False, drop_noindex=True))
+    assert res["complete"] and res["n_docs"] == 3
+    assert res["noindex_flagged"] == 2
+    out = spark.read.parquet(ResumableRun.output_glob(out_dir))
+    urls = {r["url"] for r in out.select("url").collect()}
+    assert urls == {"http://x.example/0"}
+
+    # the drop is rule-counted: firing rates + daQ facet
+    assessed = QualityPipeline(
+        registry=extended_registry(robots_noindex_rule())
+    ).assess(read_warc_html(spark, str(p)))
+    rates = {r["rule"]: r["n_fired"]
+             for r in rule_firing_rates(assessed).collect()}
+    assert rates["robots_noindex"] == 2
+    obs = {r["metric"]: (r["category"], r["dimension"])
+           for r in observations(assessed).collect()}
+    assert obs["robots_noindex"] == ("accessibility", "licensing")
+
+
+def test_drop_noindex_requires_warc_column(spark, tmp_path):
+    """--drop-noindex on an input without the robots_noindex column
+    (e.g. parquet documents) must raise, not silently no-op."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    in_dir = str(tmp_path / "docs_in")
+    load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .where("doc_id < 10").write.mode("overwrite").parquet(in_dir)
+    with pytest.raises(ValueError, match="robots_noindex"):
+        rf.run_job(spark, argparse.Namespace(
+            input=in_dir, output=str(tmp_path / "o"), master=None,
+            batch_size=8, repeat=1, as_webpages=True,
+            input_format=None, input_schema=None, inject_pii=False,
+            salt_buckets=0, seen_table=None, commit_bucket_table=None,
+            bucket_path=None, n_buckets=4, json=False, bench=False,
+            drop_noindex=True))
+
+
+def test_build_corpus_drop_noindex_stage(spark, tmp_path):
+    """build_corpus --drop-noindex: the funnel reports noindex_flagged
+    and the written corpus excludes the opted-out pages."""
+    import argparse
+
+    import scripts.build_corpus as bc
+
+    text = _keeping_text(spark)
+    body = f"<html><head></head><body><p>{text}</p></body></html>"
+    warc = (
+        _rec(0, body)
+        + _rec(1, ('<html><head><meta name="robots" content="noindex">'
+                   f"</head><body><p>{text}</p></body></html>"))
+        + _rec(2, body, http_headers="X-Robots-Tag: noindex\r\n"))
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(warc.encode("utf-8"))
+    out = str(tmp_path / "corpus")
+    funnel = bc.build(spark, argparse.Namespace(
+        input=str(p), output=out, master=None, as_webpages=False,
+        inject_pii=False, bench_input=None, neardup_threshold=0.5,
+        survivor_policy="first", dedup_spans=False, sample_rate=1.0,
+        pack_budget=256, format="parquet", json=False,
+        drop_noindex=True))
+    assert funnel["noindex_flagged"] == 2
+    assert funnel["quality_kept"] == 1
+    urls = {r["url"] for r in
+            spark.read.parquet(out).select("url").collect()}
+    assert urls == {"http://x.example/0"}
