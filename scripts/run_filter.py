@@ -102,6 +102,15 @@ def build_args() -> argparse.Namespace:
                    help="storage path prefix for --neardup-index "
                         "(default <output>/neardup_index)")
     p.add_argument("--neardup-threshold", type=float, default=0.5)
+    p.add_argument("--neardup-compact", type=int, default=None,
+                   metavar="KEEP_EPOCHS",
+                   help="after committing this run's signatures, "
+                        "compact the --neardup-index tables: merge "
+                        "every epoch partition older than the newest "
+                        "KEEP_EPOCHS into one baseline partition and "
+                        "drop the emptied ones (bounds the index's "
+                        "partition growth under daily runs; filter "
+                        "results are identical pre/post compaction)")
     p.add_argument("--line-scrub", action="store_true",
                    help="run the C4 line-level scrub (terminal "
                         "punctuation / >=3 words / no javascript) "
@@ -286,6 +295,11 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
                              mode="append" if nd_exists else "overwrite")
         result["neardup_index"] = nd_prefix
         result["neardup_mode"] = "append" if nd_exists else "create"
+        keep = getattr(args, "neardup_compact", None)
+        if keep is not None:
+            from luzzu_spark.dedup import compact_minhash_index
+            result["neardup_compaction"] = compact_minhash_index(
+                spark, nd_sigs, nd_bands, keep_epochs=keep)
     return result
 
 

@@ -330,8 +330,15 @@ def test_run_filter_cli_neardup_index_flow(spark, tmp_path):
         assert n_day1 > 0
 
         r2 = rf.run_job(spark, mkargs(
-            input=day2_in, output=str(tmp_path / "nd2_out")))
+            input=day2_in, output=str(tmp_path / "nd2_out"),
+            neardup_compact=1))
         assert r2["complete"] and r2["neardup_mode"] == "append"
+        # --neardup-compact plumbing: batch appends share the epoch=-1
+        # partition, so compaction correctly reports a no-op here (the
+        # multi-epoch merge itself is covered in
+        # test_dedup_similarity.test_compact_minhash_index_*)
+        assert r2["neardup_compaction"]["sigs"]["merged_epochs"] == []
+        assert r2["neardup_compaction"]["sigs"]["n_partitions"] == 1
 
         out2 = spark.read.parquet(
             ResumableRun.output_glob(str(tmp_path / "nd2_out")))
