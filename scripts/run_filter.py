@@ -111,6 +111,14 @@ def build_args() -> argparse.Namespace:
                         "drop the emptied ones (bounds the index's "
                         "partition growth under daily runs; filter "
                         "results are identical pre/post compaction)")
+    p.add_argument("--lang-profiles", default=None, metavar="LANGS",
+                   help="comma-separated language profiles (e.g. "
+                        "'en,fr,es,de'): the stopword_frac rule scores "
+                        "each doc against its PREDICTED language's "
+                        "stopword list + threshold "
+                        "(rules/stopwords.RULE_PROFILES; EN fallback "
+                        "for unlisted languages). Default: EN-only, "
+                        "the frozen RULESPEC behavior")
     p.add_argument("--line-scrub", action="store_true",
                    help="run the C4 line-level scrub (terminal "
                         "punctuation / >=3 words / no javascript) "
@@ -162,12 +170,16 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
     if getattr(args, "drop_noindex", False):
         from luzzu_spark.rules.registry import robots_noindex_rule
         extra_rules.append(robots_noindex_rule())
-    if extra_rules:
-        from luzzu_spark.rules.registry import extended_registry
-        registry = extended_registry(*extra_rules)
+    lang_profiles = getattr(args, "lang_profiles", None)
+    if lang_profiles:
+        from luzzu_spark.rules.registry import multilingual_registry
+        registry = multilingual_registry(
+            tuple(s.strip() for s in lang_profiles.split(",") if s.strip()))
     else:
         from luzzu_spark.rules.registry import default_registry
         registry = default_registry()
+    for r in extra_rules:
+        registry.register(r)
     pipe = QualityPipeline(
         registry=registry,
         line_scrub=getattr(args, "line_scrub", False),

@@ -210,3 +210,67 @@ def test_paragraph_scrub_stage(spark, tmp_path):
             spark.read.parquet(out2).select("doc_id", "text").collect()}
     untouched = [d for d in got if d not in (3002,)]
     assert all(got[d] == base[d] for d in untouched)
+
+
+def test_span_mode_char_preserves_structure(spark, tmp_path):
+    """--dedup-spans --span-mode char: a doc losing a mid-paragraph
+    duplicated range keeps its newline structure byte-for-byte
+    outside the cut (VERDICT r04 What's-wrong #3); token mode would
+    canonicalize it to a single-space rejoin."""
+    docs = load_table(spark, SF, "documents").where("doc_id < 40")
+    shared = " ".join(f"spanword{i}" for i in range(25))
+    # two structured docs sharing one 25-token block mid-paragraph;
+    # their UNIQUE text is standalone prose (a fixture-doc base would
+    # make them near-dups of their base and prune BEFORE span removal)
+    intro1 = ("the quick analysis shows that sorting large tables "
+              "requires careful memory management and the planner "
+              "chooses a merge join when both input sides are sorted")
+    intro2 = ("a streaming aggregation keeps partial sums in the "
+              "state store and the watermark decides when a window "
+              "is final so late rows are counted once for each key")
+    def structured(intro, uniq):
+        return (intro + "\n\n" + shared + "\n\n"
+                + uniq + " closing line kept intact.")
+    t1 = structured(intro1,
+                    "First unique closing paragraph about sorting.")
+    t2 = structured(intro2,
+                    "Second unique ending paragraph about joins.")
+    planted = spark.createDataFrame(
+        [(3001, t1, "en", "src1", len(t1)),
+         (3002, t2, "en", "src2", len(t2))],
+        docs.schema)
+    inp = str(tmp_path / "docs")
+    docs.unionByName(planted).repartition(4) \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "corpus")
+    funnel = bc.build(spark, _mkargs(
+        input=inp, output=out, dedup_spans=True, span_mode="char"))
+    assert funnel["after_span_removal"] > 0
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert 3001 in got and 3002 in got, sorted(got)[-5:]
+    for i in (3001, 3002):
+        assert "spanword0" not in got[i], i
+        # paragraph structure OUTSIDE the cut survives byte-for-byte:
+        # the cut keeps both flanking \n\n runs
+        assert "\n\n\n\n" in got[i], repr(got[i])[-120:]
+    assert got[3001].endswith(
+        "First unique closing paragraph about sorting. "
+        "closing line kept intact.")
+
+
+def test_pack_tokenizer_bpe(spark, planted_input, tmp_path):
+    """--pack-tokenizer bpe packs on the BPE pre-tokenizer budget:
+    more sequences than whitespace packing on the same corpus (BPE
+    counts >= word counts), same deterministic seq_id shape."""
+    inp, _ = planted_input
+    out_ws = str(tmp_path / "ws")
+    out_bpe = str(tmp_path / "bpe")
+    f_ws = bc.build(spark, _mkargs(input=inp, output=out_ws))
+    f_bpe = bc.build(spark, _mkargs(input=inp, output=out_bpe,
+                                    pack_tokenizer="bpe"))
+    assert f_bpe["written"] == f_ws["written"]
+    assert f_bpe["n_sequences"] >= f_ws["n_sequences"]
+    seqs = spark.read.parquet(out_bpe).select("source",
+                                              "seq_id").collect()
+    assert all(r["seq_id"].split("#")[0] == r["source"] for r in seqs)
