@@ -42,83 +42,86 @@ def register(name: str, oracle: str | None = None):
 
 
 # ---------------------------------------------------------------------
-# Driver verification window (VERDICT r02 item 1; r03 rotation plan
-# executed here as VERDICT r03 item 1).
+# Driver verification window (VERDICT r02 item 1; rotation executed
+# every round since; r05 adds the FRESHNESS RULE as governance --
+# VERDICT r04 next #4).
 #
 # The driver hash-checks exactly the FIRST 50 entries of queries() in
 # iteration order, so registration order IS the verification budget.
-# Round-4 window:
-# (a) every query that has NEVER held a driver row — the 13 declared
-#     _WINDOW_OVERFLOW entries from r03 plus the five new r04 queries
-#     (incremental cross-run pairs; near-dup survivors, upgraded from
-#     rows-only to a full recursive-CTE oracle; cross-doc paragraph
-#     dedup with byte-verified rebuilt text; the two data-mixing plan
-#     queries — sqrt-temperature weights and the capped epoch budget);
-# (b) queries whose implementation or oracle CHANGED this round and
-#     must re-verify: the three signature queries that moved to the
-#     SQL-replayable hash family (minhash/simhash pairs + hamming
-#     near-pairs — rows-only until r04, full oracles now),
-#     dedup_jaccard_verified (shingle kernel changed under it), and
-#     pipeline_confusion_f1 (reference labeler moved driver→executor);
-# (c) refill: r03-single-green queries for a second independent row,
-#     favoring the web/LLM-pipeline operators; 14 TPC-H shapes drop
-#     out (each holds an r03 row; the complete set of 22 is recorded)
-#     along with r01+r03 twice-green entries.
+#
+# Freshness rule (encoded in tests/test_catalog.py): every query whose
+# implementation OR oracle changed since its LAST green driver row --
+# the _CHANGED_SINCE_LAST_GREEN declaration below, maintained with the
+# change that invalidates the row -- must re-enter the window, along
+# with every oracle query that has never held a row; remaining slots
+# refill with the OLDEST-green entries first. Displacement rule (r04):
+# only queries that are driver-green AND unchanged since their row may
+# rotate out.
+#
+# Round-5 window:
+# (a) new this round, never driver-checked: per-language stopword
+#     profiles, BPE-budget packing, char-offset span excision;
+# (b) changed since their r04 green row: commit 8773dd6 (post-r04
+#     driver run) retuned the default _shingle_segments tokenizer to
+#     Java's \s set (ADVICE r04 high), which feeds every replayable
+#     minhash/simhash/shingle-set kernel, and derived mix_epoch_plan's
+#     capped-volume term from the cap constant;
+# (c) refill, oldest-green first: ALL five r01-latest entries, all
+#     nine r02-single-green entries, then 23 of the 31 r01+r02
+#     twice-green rows (the 8 left out are twice-green members of
+#     families re-verified heavily in r04/r05: lang/token/stopword
+#     stats, quality-score, distinct-agg, exact-dedup survivors).
 # ---------------------------------------------------------------------
-_WINDOW: tuple[str, ...] = (
-    # (a) never driver-checked — r03 overflow, locally parity-proven
-    # at sf0.001 AND sf0.01 both rounds
-    "text_c4_line_scrub",
-    "dedup_dup_span_ranges",
-    "dedup_dup_span_removal",
-    "skew_source_audit",
-    "dsir_weighted_sample",
-    "split_train_val_test",
-    "docs_sql_udf_keep_counts",
-    "text_nfc_normalize",
-    "corpus_datasheet",
-    "corpus_shuffle_order",
-    "text_stopword_presence",
-    "text_dup_para_fraction",
-    "metrics_daq_hierarchy",
-    # (a) new in r04
-    "dedup_incremental_pairs",
-    "dedup_near_survivors",
-    "dedup_cross_doc_paragraphs",
-    "mix_temperature_weights", "mix_epoch_plan",
-    "text_html_extract",
-    "split_leakage_audit",
-    # (b) changed this round — must re-verify under the new code
+
+# Queries whose implementation or oracle changed AFTER their latest
+# green driver row (the freshness declaration the governance test
+# enforces; clear entries when the next CORRECTNESS file lands green
+# rows for them).
+_CHANGED_SINCE_LAST_GREEN: tuple[str, ...] = (
+    # 8773dd6: Java-\s tokenizer under every replayable kernel
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
-    "dedup_jaccard_verified", "pipeline_confusion_f1",
-    "dedup_ngram_jaccard_exact",
-    # (b late-r04) verdict CTE refactored to per-rule flags; ranking
-    # gained a full oracle off it (rows-only before)
-    "pipeline_verdict_counts", "pipeline_rank_sources",
-    # (c) refill — r03-single-green, second independent row
-    # (window_range_time_sum, join_asof_event_order,
-    # events_sliding_10x5 and agg_pivot_source_lang rotated out
-    # late-r04 for text_html_extract, split_leakage_audit + the two
-    # verdict-family rows above: all four are r03-green and unchanged
-    # since their row, the displacement rule)
-    "grouped_source_stats", "text_line_stats", "events_session_counts",
-    "docs_chars_histogram",
-    "agg_percentile_chars",
-    "window_distribution_stats", "metrics_run_delta",
-    "multimodal_frame_hashes", "multimodal_image_features",
-    "text_encoding_quality", "dsir_importance_weights",
-    "dedup_cluster_quality_survivors",
-    "distill_gram_stats", "pack_token_sequences",
-    "text_dup_line_fraction", "text_bullet_ellipsis_lines",
-    "text_code_markers", "text_alpha_word_fraction",
-    "url_host_blocklist", "dedup_url_normalized",
-    "rank_sources_weighted", "text_boilerplate_lines",
+    "dedup_jaccard_verified", "dedup_ngram_jaccard_exact",
+    "dedup_cluster_quality_survivors", "dedup_incremental_pairs",
+    "dedup_near_survivors", "split_leakage_audit",
+    # 8773dd6: capped-volume term now derived from the cap constant
+    "mix_epoch_plan",
+)
+
+_WINDOW: tuple[str, ...] = (
+    # (a) new in r05 -- parity-proven locally at sf0.001 AND sf0.01
+    "docs_lang_profile_rates",
+    "pack_bpe_sequences",
+    "dedup_dup_span_excision",
+    # (b) changed since their r04 green row (freshness rule)
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
+    "dedup_jaccard_verified", "dedup_ngram_jaccard_exact",
+    "dedup_cluster_quality_survivors", "dedup_incremental_pairs",
+    "dedup_near_survivors", "split_leakage_audit", "mix_epoch_plan",
+    # (c) refill -- r01-latest (stalest green rows in the catalog)
+    "agg_cube_lang_source", "window_top2_docs_per_source",
+    "supplier_revenue_by_nation", "part_type_price_stats",
+    "set_union_lang_counts",
+    # (c) refill -- r02 single-green
+    "docs_langid", "docs_perplexity_hist", "mix_weights_by_source",
+    "q10_returned_item_customers", "q17_small_quantity_revenue",
+    "q4_priority_late_orders", "sample_quality_mix",
+    "sample_stable_hash", "text_bpe_token_counts",
+    # (c) refill -- r01+r02 twice-green, 23 of 31
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "agg_rollup_acctbal", "join_broadcast_dims",
+    "join_semi_customers_with_orders", "join_anti_customers_no_orders",
+    "join_range_events_orders", "window_rank_customers",
+    "window_running_avg", "window_lag_deltas", "sort_topk_parts",
+    "set_except_sources", "set_intersect_sources",
+    "dedup_first_doc_per_source", "events_json_sum",
+    "events_tumbling_10min", "events_date_stats", "text_fingerprint",
+    "scrub_pii_identity", "embed_norm_stats", "embed_cosine_topk",
+    "multimodal_binary_stats",
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that
-# do not fit the 50-slot window. EMPTY in round 4 — the r03 rotation
-# plan was executed in full: every r03 overflow entry now sits in
-# window slots 1-13 and every new/changed oracle query fits.
+# do not fit the 50-slot window. EMPTY in round 5: the three new
+# queries and the full changed-set all fit.
 _WINDOW_OVERFLOW: tuple[str, ...] = ()
 
 

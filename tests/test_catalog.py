@@ -27,15 +27,14 @@ def test_window_is_the_first_50():
 
 def test_window_covers_never_driver_checked_queries():
     """Every ORACLE-checkable query that never received a driver row in
-    r01-r03 must sit inside the round-4 window — except a declared
+    r01-r04 must sit inside the round-5 window — except a declared
     overflow list when first-timers outnumber the 50 slots (empty in
-    r04: the r03 rotation plan landed everything). Rows-only ops are
-    exempt: they'd occupy a hash-check slot for a weaker rows-count
-    record (VERDICT r02 item 1), and their correctness contracts live
-    in dedicated local tests instead."""
+    r05). Rows-only ops are exempt: they'd occupy a hash-check slot
+    for a weaker rows-count record (VERDICT r02 item 1), and their
+    correctness contracts live in dedicated local tests instead."""
     checked = set()
     for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-                  "CORRECTNESS_r03.json"):
+                  "CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
         path = os.path.join(_REPO, fname)
         with open(path) as f:
             checked |= set(json.load(f))
@@ -53,6 +52,26 @@ def test_window_covers_never_driver_checked_queries():
     for n in _WINDOW_OVERFLOW:
         assert n in oracles, f"overflow entry {n} has no oracle"
         assert names.index(n) >= 50, f"overflow entry {n} is in-window"
+
+
+def test_freshness_rule_changed_queries_reenter_window():
+    """Freshness governance (VERDICT r04 next #4): a query whose
+    implementation or oracle changed since its last green driver row
+    may NOT coast on that stale row — every _CHANGED_SINCE_LAST_GREEN
+    entry must (a) be a registered oracle query and (b) hold a window
+    slot, so the next driver run re-verifies it under the new code.
+    The declaration itself is maintained alongside the change (the
+    commit that invalidates a row adds its queries here; the round
+    close that lands fresh green rows clears them)."""
+    from luzzu_spark.queries import _CHANGED_SINCE_LAST_GREEN, _WINDOW
+    oracles = set(entrymod.oracle_sql())
+    registered = set(entrymod.queries())
+    for n in _CHANGED_SINCE_LAST_GREEN:
+        assert n in registered, f"changed-set entry {n} not registered"
+        assert n in oracles, f"changed-set entry {n} has no oracle"
+        assert n in _WINDOW, \
+            f"{n} changed since its last green row but sits OUTSIDE " \
+            "the verification window (stale-green)"
 
 
 def test_every_window_name_is_registered():
