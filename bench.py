@@ -130,6 +130,84 @@ def bench_metrics(spark: SparkSession, sf_dir: str) -> float:
     return min(trial(), trial())
 
 
+def _synth_crawl(spark: SparkSession, sf_dir: str,
+                 n_files: int = 8) -> tuple[str, str, int]:
+    """Deterministic synthetic crawl for the ingest legs: the fixture
+    docs serialized as n_files UNCOMPRESSED .wet files (conversion
+    records) and .warc files (response records wrapping the text in
+    minimal HTML), CRLF-framed per spec. Uncompressed files stay
+    splittable, and the file count provides the parallelism real CC
+    jobs get from their ~64k-file crawls. Built driver-side once
+    (untimed; ~15 MB per format at sf0.1)."""
+    import tempfile
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    base = tempfile.mkdtemp(prefix="luzzu_bench_crawl_")
+    wet_dir = os.path.join(base, "wet")
+    warc_dir = os.path.join(base, "warc")
+    os.makedirs(wet_dir)
+    os.makedirs(warc_dir)
+    for f in range(n_files):
+        wet_parts, warc_parts = [], []
+        for r in docs:
+            rid = f * 1_000_000 + r["doc_id"]
+            url = f"http://bench{rid % 997}.example.com/doc/{rid}"
+            body = r["text"] or ""
+            head = ("WARC/1.0\r\n{typ}\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    "WARC-Date: 2026-01-02T03:04:05Z\r\n"
+                    "WARC-Record-ID: <urn:uuid:{kind}-"
+                    f"{rid}>\r\n\r\n")
+            wet_parts.append(
+                head.format(typ="WARC-Type: conversion", kind="wet")
+                + body + "\r\n\r\n")
+            warc_parts.append(
+                head.format(typ="WARC-Type: response", kind="warc")
+                + "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + "<html><head><title>t</title></head><body><p>"
+                + body + "</p></body></html>\r\n\r\n")
+        with open(f"{wet_dir}/crawl-{f:03d}.wet", "wb") as fh:
+            fh.write("".join(wet_parts).encode("utf-8"))
+        with open(f"{warc_dir}/crawl-{f:03d}.warc", "wb") as fh:
+            fh.write("".join(warc_parts).encode("utf-8"))
+    return wet_dir, warc_dir, len(docs) * n_files
+
+
+def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
+    """The r05 flagship-capability legs (VERDICT r04 next #5): docs/s
+    through the two crawl-native ingest paths feeding the FULL
+    assessment — read_wet → pipeline (header parse + payload slice,
+    pure Catalyst) and read_warc_html → pipeline (HTTP split + HTML→
+    text extraction on top). Same discipline as the headline legs:
+    warm-up, then min of two interleaved trials."""
+    import shutil
+
+    from luzzu_spark.pipeline import QualityPipeline
+    from luzzu_spark.sources import read_warc_html, read_wet
+    wet_dir, warc_dir, n = _synth_crawl(spark, sf_dir)
+    pipe = QualityPipeline()
+    frames = {
+        "wet_ingest": pipe.assess(read_wet(spark, wet_dir)),
+        "warc_extract": pipe.assess(read_warc_html(spark, warc_dir)),
+    }
+    for df in frames.values():
+        run_noop(df)  # warm-up (cold text-source scan + Arrow spin-up)
+    trials: dict[str, list[float]] = {k: [] for k in frames}
+    for _ in range(2):
+        for k, df in frames.items():
+            trials[k].append(run_noop(df))
+    out = {k: round(min(ts), 3) for k, ts in trials.items()}
+    result = {
+        "timings": out,
+        "ingest_docs": n,
+        "wet_docs_per_sec": round(n / out["wet_ingest"], 1),
+        "warc_docs_per_sec": round(n / out["warc_extract"], 1),
+    }
+    shutil.rmtree(os.path.dirname(wet_dir.rstrip("/")),
+                  ignore_errors=True)
+    return result
+
+
 def _md5_rate(seconds: float = 0.25) -> float:
     """Single-process md5 throughput (Mhash/s) — pure CPU, cache
     resident, no Spark: a fixed-work yardstick for the box itself."""
@@ -297,6 +375,11 @@ def main() -> None:
                             for n, ts in ext_trials.items()
                             if n in extended_r04}
 
+    # r05: crawl-native ingest paths (WET parse / raw-WARC HTML
+    # extraction) feeding the full assessment — the round's flagship
+    # capability measured with the same min-of-interleaved discipline
+    ingest = bench_ingest(spark, SF_DIR)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -311,6 +394,10 @@ def main() -> None:
         "queries": timings,
         "queries_extended_r03": timings_extended,
         "queries_extended_r04": timings_extended_r04,
+        "queries_extended_r05": ingest["timings"],
+        "ingest_docs": ingest["ingest_docs"],
+        "wet_docs_per_sec": ingest["wet_docs_per_sec"],
+        "warc_docs_per_sec": ingest["warc_docs_per_sec"],
         "sf": sf_val,
         "docs_filtered": n_docs,
         "docs_per_sec": docs_per_sec,
