@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-5 window:
 # (a) new this round, never driver-checked: per-language stopword
-#     profiles, BPE-budget packing, char-offset span excision;
+#     profiles, BPE-budget packing, char-offset span excision, and the
+#     Bloom-pruned cross-run seen-set;
 # (b) changed since their r04 green row: commit 8773dd6 (post-r04
 #     driver run) retuned the default _shingle_segments tokenizer to
 #     Java's \s set (ADVICE r04 high), which feeds every replayable
@@ -92,6 +93,7 @@ _WINDOW: tuple[str, ...] = (
     "docs_lang_profile_rates",
     "pack_bpe_sequences",
     "dedup_dup_span_excision",
+    "dedup_bloom_seen_filter",
     # (b) changed since their r04 green row (freshness rule)
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "dedup_ngram_jaccard_exact",
@@ -116,11 +118,12 @@ _WINDOW: tuple[str, ...] = (
     "dedup_first_doc_per_source", "events_json_sum",
     "events_tumbling_10min", "events_date_stats", "text_fingerprint",
     "scrub_pii_identity", "embed_norm_stats", "embed_cosine_topk",
-    "multimodal_binary_stats",
+    # multimodal_binary_stats rotates out for dedup_bloom_seen_filter:
+    # r01+r02 twice-green and unchanged since (the displacement rule)
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that
-# do not fit the 50-slot window. EMPTY in round 5: the three new
+# do not fit the 50-slot window. EMPTY in round 5: the four new
 # queries and the full changed-set all fit.
 _WINDOW_OVERFLOW: tuple[str, ...] = ()
 

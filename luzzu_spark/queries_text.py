@@ -1156,3 +1156,36 @@ def dedup_dup_span_excision(spark: SparkSession,
         F.length(F.coalesce("text", F.lit(""))).cast("long")
         .alias("kept_chars"))
         .orderBy("doc_id"))
+
+
+@register("dedup_bloom_seen_filter", oracle="""
+SELECT doc_id, md5(coalesce(text, '')) AS content_key
+FROM documents
+WHERE doc_id % 3 = 0
+  AND md5(coalesce(text, '')) NOT IN
+      (SELECT md5(coalesce(text, '')) FROM documents
+       WHERE doc_id % 2 = 0)
+ORDER BY doc_id
+""")
+def dedup_bloom_seen_filter(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bloom-pruned cross-run seen-set dedup
+    (dedup.seen_bloom_anti_join) as an oracle-checked query: the
+    committed corpus is the even-doc_id half, today's batch the
+    doc_id%3 slice (so half the batch is re-crawled content), keyed on
+    the content digest — and the result must be EXACTLY the NOT-IN
+    anti-join, because the Bloom filter only changes the plan (novel
+    keys bypass the join map-only; the might-contain candidates settle
+    in the exact anti-join, absorbing every false positive).
+
+    Scale shape: the committed side streams once (key column only,
+    never shuffled); the novel branch is one Arrow stage with zero
+    exchange; only candidates (~dups + fpp·batch) shuffle."""
+    from luzzu_spark.dedup import seen_bloom_anti_join
+    ck = F.md5(F.coalesce("text", F.lit(""))).alias("content_key")
+    docs = _docs(spark, sf_dir).select("doc_id", ck)
+    seen = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 3 = 0")
+    return (seen_bloom_anti_join(batch, seen, key="content_key",
+                                 fpp=0.01)
+            .select("doc_id", "content_key").orderBy("doc_id"))

@@ -59,6 +59,9 @@ _DRIVER_MAT_ALLOWED = {
      ".where(\"col_name = 'Location'\").collect())"):
         "DESCRIBE FORMATTED metadata — ≤ a few dozen catalog rows, "
         "never data rows",
+    ("luzzu_spark/dedup.py", "bitmap_rows = final.collect()"):
+        "exactly one Bloom bitmap row of m/8 bytes (sized by "
+        "fpp/expected_items), independent of corpus row count",
 }
 
 

@@ -960,3 +960,67 @@ def test_remove_cross_doc_paragraphs_blank_runs_untouched(spark):
     out = {r["doc_id"]: r["text"]
            for r in remove_cross_doc_paragraphs(docs).collect()}
     assert out == dict((d, t) for d, t in rows)
+
+
+# ---- Bloom-filter seen-set (r05) ----------------------------------------
+
+
+def test_bloom_seen_filter_equals_exact_anti_join(spark):
+    """seen_bloom_anti_join must return row-for-row the exact
+    anti-join result on an overlapping committed/batch split of the
+    fixture corpus — the Bloom only changes the plan."""
+    from luzzu_spark.fixtures import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id",
+                F.md5(F.coalesce("text", F.lit("")))
+                .alias("content_key"))
+    seen = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 3 = 0")
+    got = sorted(r["doc_id"] for r in dedup.seen_bloom_anti_join(
+        batch, seen, key="content_key").select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in dedup.seen_anti_join(
+        batch, seen, key="content_key").select("doc_id").collect())
+    assert got == want and len(got) > 0
+    # and the batch/committed overlap was real (the bloom had hits)
+    assert len(got) < batch.count()
+
+
+def test_bloom_seen_filter_all_novel_and_empty_seen(spark):
+    """Disjoint keys -> every batch row survives; an EMPTY committed
+    set -> identity (zero-filled bitmap, nothing might-contain)."""
+    seen = spark.createDataFrame(
+        [(f"http://old.example/{i}",) for i in range(200)],
+        "url string")
+    batch = spark.createDataFrame(
+        [(f"http://new.example/{i}", i) for i in range(300)],
+        "url string, doc_id long")
+    out = dedup.seen_bloom_anti_join(batch, seen, key="url")
+    assert out.count() == 300
+    empty = seen.where("url IS NULL")
+    assert dedup.seen_bloom_anti_join(batch, empty,
+                                      key="url").count() == 300
+
+
+def test_bloom_no_false_negatives_and_fpp_bound(spark):
+    """Every committed key must might-contain (Bloom's hard guarantee
+    -- a false negative would LEAK a duplicate into the corpus); the
+    false-positive rate on disjoint keys stays near the configured
+    fpp (generous 5x bound for a 2k sample)."""
+    n = 2000
+    seen = spark.createDataFrame(
+        [(f"http://seen.example/{i}",) for i in range(n)], "url string")
+    m_bits, k = dedup.bloom_params(n, fpp=0.01)
+    bloom = dedup.bloom_build(seen, "url", m_bits, k)
+    probe = spark.createDataFrame(
+        [(f"http://seen.example/{i}",) for i in range(n)]
+        + [(f"http://novel.example/{i}",) for i in range(n)],
+        "url string")
+    flagged = probe.withColumn(
+        "maybe", dedup._bloom_membership_col(spark, bloom, k, m_bits,
+                                             F.col("url")))
+    seen_hits = flagged.where(
+        "url LIKE 'http://seen.example/%' AND maybe").count()
+    assert seen_hits == n, f"false negatives: {n - seen_hits}"
+    fp = flagged.where(
+        "url LIKE 'http://novel.example/%' AND maybe").count()
+    assert fp / n <= 0.05, f"fp rate {fp / n} vs configured 0.01"
