@@ -78,6 +78,14 @@ def build_args() -> argparse.Namespace:
                         "url is already committed are dropped BEFORE "
                         "assessment via a bucket-aligned anti-join — "
                         "the committed side never shuffles")
+    p.add_argument("--seen-bloom", action="store_true",
+                   help="with --seen-table: prune the batch through a "
+                        "Bloom filter built from the committed urls "
+                        "first (dedup.seen_bloom_anti_join) — "
+                        "guaranteed-novel urls bypass the anti-join "
+                        "map-only; result identical to the exact path. "
+                        "Use when the batch is mostly new or the seen "
+                        "table is not bucket-aligned to the batch")
     p.add_argument("--commit-bucket-table", default=None,
                    help="after the run, consolidate the kept corpus "
                         "into a url-bucketed catalog table under "
@@ -212,8 +220,14 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         if seen is not None:
             # cross-run dedup: drop re-crawled urls BEFORE the UDF
             # stage pays for them; the committed (bucketed) side reads
-            # shuffle-free — only this batch pays one Exchange
-            pages = seen_anti_join(pages, seen)
+            # shuffle-free — only this batch pays one Exchange. With
+            # --seen-bloom, guaranteed-novel urls skip even that
+            # Exchange (map-only Bloom prune; identical result)
+            if getattr(args, "seen_bloom", False):
+                from luzzu_spark.dedup import seen_bloom_anti_join
+                pages = seen_bloom_anti_join(pages, seen)
+            else:
+                pages = seen_anti_join(pages, seen)
             LAST_SEEN_PLAN = (pages._jdf.queryExecution()
                               .executedPlan().toString())
         if nd_exists:

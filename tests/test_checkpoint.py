@@ -351,3 +351,61 @@ def test_run_filter_cli_neardup_index_flow(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_nd_idx_sigs")
         spark.sql("DROP TABLE IF EXISTS cli_nd_idx_bands")
+
+
+def test_run_filter_cli_seen_bloom_flow(spark, tmp_path):
+    """--seen-bloom (r05): the Bloom-pruned cross-run path from the
+    production entry point returns EXACTLY the exact-path keep set --
+    committed urls all dropped, novel docs all through."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1_in = str(tmp_path / "day1_in")
+    day2_in = str(tmp_path / "day2_in")
+    docs.where("doc_id < 30").repartition(2) \
+        .write.mode("overwrite").parquet(day1_in)
+    docs.where("doc_id >= 20 AND doc_id < 50").repartition(2) \
+        .write.mode("overwrite").parquet(day2_in)
+
+    def mkargs(**kw):
+        base = dict(input=None, output=None, master=None, batch_size=2,
+                    repeat=1, as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    try:
+        rf.run_job(spark, mkargs(
+            input=day1_in, output=str(tmp_path / "day1_out"),
+            commit_bucket_table="cli_bloom_corpus",
+            bucket_path=str(tmp_path / "bucketed")))
+        day1_urls = {r.url for r in spark.table("cli_bloom_corpus")
+                     .select("url").collect()}
+
+        r2 = rf.run_job(spark, mkargs(
+            input=day2_in, output=str(tmp_path / "day2_bloom"),
+            seen_table="cli_bloom_corpus", seen_bloom=True))
+        assert r2["complete"]
+        out_bloom = {r.url for r in spark.read.parquet(
+            ResumableRun.output_glob(str(tmp_path / "day2_bloom")))
+            .select("url").collect()}
+
+        r3 = rf.run_job(spark, mkargs(
+            input=day2_in, output=str(tmp_path / "day2_exact"),
+            seen_table="cli_bloom_corpus"))
+        assert r3["complete"]
+        out_exact = {r.url for r in spark.read.parquet(
+            ResumableRun.output_glob(str(tmp_path / "day2_exact")))
+            .select("url").collect()}
+
+        assert out_bloom == out_exact
+        assert not (out_bloom & day1_urls)
+        assert out_bloom  # novel docs made it through
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_bloom_corpus")
