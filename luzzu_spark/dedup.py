@@ -138,7 +138,10 @@ def _token_hashes_replayable(flat: np.ndarray) -> np.ndarray:
 
 # ---- vectorized signature kernels (one Arrow batch at a time) -----------
 
-# Java \s == RE2 \s == exactly these six ASCII chars. Python str.split()
+# Java \s == exactly these six ASCII chars. RE2's \s is only FIVE — it
+# excludes \x0b — so every DuckDB oracle tokenizes with the explicit
+# class [ \t\n\x0b\f\r]+ instead of '\s+' (review r05: a vertical-tab
+# doc would otherwise misalign replayed signatures). Python str.split()
 # additionally treats \x1c-\x1f, \x85, \xa0, U+2000… as whitespace —
 # using it here would misalign token positions vs the Catalyst
 # split(trim, '\s+') excision pass on any web doc containing NBSP.
@@ -697,10 +700,15 @@ def seen_bloom_anti_join(batch: DataFrame, seen: DataFrame,
     built by a tree merge (partition bitmaps → 64 groups → 1) and
     broadcast once; beyond single-digit GB, shard the seen set by
     pmod(xxhash64(key), S) and run one bloom per shard. The committed
-    side streams ONCE, key column only, and is never shuffled. The
-    batch is scanned twice (novel + candidate branches), both
-    map-side — persist the flagged batch upstream if its scan is
-    expensive."""
+    side streams ONCE for the bitmap (key column only, never
+    shuffled) — plus one count() job to size it when expected_items
+    is not supplied: cheap on an unfiltered parquet/catalog table
+    (row counts come from footer metadata) but a full second scan on
+    a filtered frame, so PASS expected_items at scale (Bloom sizing
+    tolerates rough estimates — 2× over-estimate costs 2× bits, not
+    correctness). The batch is scanned twice (novel + candidate
+    branches), both map-side — persist the flagged batch upstream if
+    its scan is expensive."""
     spark = batch.sparkSession
     n = expected_items if expected_items is not None else seen.count()
     m_bits, k = bloom_params(n, fpp)
@@ -1352,7 +1360,7 @@ def _replayable_sig_ctes(n: int = SHINGLE_N) -> str:
                           for k in range(n))
     return f"""
 d AS (SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\\s+'),
+             list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                          t -> t <> '') AS toks
       FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tok,

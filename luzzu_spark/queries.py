@@ -68,10 +68,11 @@ def register(name: str, oracle: str | None = None):
 #     minhash/simhash/shingle-set kernel, and derived mix_epoch_plan's
 #     capped-volume term from the cap constant;
 # (c) refill, oldest-green first: ALL five r01-latest entries, all
-#     nine r02-single-green entries, then 23 of the 31 r01+r02
-#     twice-green rows (the 8 left out are twice-green members of
+#     nine r02-single-green entries, then 20 of the 31 r01+r02
+#     twice-green rows (the 11 left out are twice-green members of
 #     families re-verified heavily in r04/r05: lang/token/stopword
-#     stats, quality-score, distinct-agg, exact-dedup survivors).
+#     stats, quality-score, distinct-agg, exact-dedup survivors,
+#     multimodal stats — displaced for dedup_bloom_seen_filter).
 # ---------------------------------------------------------------------
 
 # Queries whose implementation or oracle changed AFTER their latest
@@ -86,6 +87,10 @@ _CHANGED_SINCE_LAST_GREEN: tuple[str, ...] = (
     "dedup_near_survivors", "split_leakage_audit",
     # 8773dd6: capped-volume term now derived from the cap constant
     "mix_epoch_plan",
+    # review r05: DuckDB-side '\s' is RE2 (5 chars, no \x0b) while the
+    # Spark side is Java \s (6) — oracles moved to the explicit class
+    # [ \t\n\x0b\f\r]+; every query whose oracle text changed re-enters
+    "text_alpha_word_fraction", "text_dup_para_fraction",
 )
 
 _WINDOW: tuple[str, ...] = (
@@ -99,6 +104,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_jaccard_verified", "dedup_ngram_jaccard_exact",
     "dedup_cluster_quality_survivors", "dedup_incremental_pairs",
     "dedup_near_survivors", "split_leakage_audit", "mix_epoch_plan",
+    "text_alpha_word_fraction", "text_dup_para_fraction",
     # (c) refill -- r01-latest (stalest green rows in the catalog)
     "agg_cube_lang_source", "window_top2_docs_per_source",
     "supplier_revenue_by_nation", "part_type_price_stats",
@@ -116,10 +122,12 @@ _WINDOW: tuple[str, ...] = (
     "window_running_avg", "window_lag_deltas", "sort_topk_parts",
     "set_except_sources", "set_intersect_sources",
     "dedup_first_doc_per_source", "events_json_sum",
-    "events_tumbling_10min", "events_date_stats", "text_fingerprint",
-    "scrub_pii_identity", "embed_norm_stats", "embed_cosine_topk",
-    # multimodal_binary_stats rotates out for dedup_bloom_seen_filter:
-    # r01+r02 twice-green and unchanged since (the displacement rule)
+    "events_tumbling_10min", "text_fingerprint",
+    "scrub_pii_identity", "embed_cosine_topk",
+    # multimodal_binary_stats rotated out for dedup_bloom_seen_filter;
+    # events_date_stats + embed_norm_stats for the two \x0b-class
+    # oracle re-verifies above — all three r01+r02 twice-green and
+    # unchanged since their rows (the displacement rule)
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that

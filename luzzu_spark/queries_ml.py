@@ -365,7 +365,7 @@ FROM verdict GROUP BY lang ORDER BY lang
     from luzzu_spark.rules.stopwords import STOPWORDS
     seed = SEED_CORPUS.replace("'", "''")
     sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
-    mwl = ("CAST(len(regexp_replace(f.raw, '\\s+', '', 'g')) AS DOUBLE)"
+    mwl = ("CAST(len(regexp_replace(f.raw, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS DOUBLE)"
            " / NULLIF(len(f.toks), 0)")
     return f"""
 WITH alpha AS (SELECT UNNEST(range(27)) AS c),

@@ -624,7 +624,7 @@ WITH pages AS (
   SELECT doc_id, lang, {_NUMERIC_PAD_SQL} AS page FROM documents),
 toks AS (
   SELECT doc_id, lang,
-         unnest(list_filter(regexp_split_to_array(trim(page), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(trim(page), '[ \\t\\n\\x0b\\f\\r]+'),
                             x -> x <> '')) AS w
   FROM pages),
 per_doc AS (
@@ -1320,7 +1320,7 @@ WITH t AS (
          list_filter(string_split(trim(coalesce(text, '')), ' '),
                      x -> x <> '') AS toks,
          length(regexp_replace(coalesce(text, ''),
-                               '\\s+', '', 'g')) AS nonws,
+                               '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS nonws,
          len(regexp_extract_all(coalesce(text, ''),
                                 '[{s.SYMBOL_CHARS}]')) AS n_sym
   FROM documents),
@@ -1686,7 +1686,7 @@ WITH t AS (
          list_filter(string_split(trim(coalesce(text, '')), ' '),
                      x -> x <> '') AS toks,
          length(regexp_replace(coalesce(text, ''),
-                               '\\s+', '', 'g')) AS nonws,
+                               '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS nonws,
          len(regexp_extract_all(coalesce(text, ''),
                                 '[{s.SYMBOL_CHARS}]')) AS n_sym
   FROM documents),
@@ -2024,8 +2024,12 @@ def docs_lang_profile_rates(spark: SparkSession,
          .withColumn("hits", hits.cast("long"))
          .withColumn("fired", rule.fires(rule.score())))
     return (d.groupBy("lang_key")
+            # coalesce: zero-token docs score NULL (try_divide) so
+            # fired is NULL; a group of ONLY such docs must sum to 0,
+            # matching the oracle's CASE … ELSE 0 (CLAUDE.md rule 15)
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.col("fired").cast("long")).alias("n_fired"),
+                 F.sum(F.coalesce(F.col("fired").cast("long"),
+                                  F.lit(0))).alias("n_fired"),
                  F.sum("hits").alias("sum_hits"),
                  F.sum(F.col("n_tokens").cast("long"))
                  .alias("sum_tokens"))

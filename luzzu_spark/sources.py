@@ -223,14 +223,17 @@ def _check_warc_version(paths: list[str]) -> None:
                     head = fh.read(10)
             except OSError:
                 continue
-            if head.startswith(b"WARC/") and not head.startswith(
-                    b"WARC/1.0\r\n"):
-                raise ValueError(
-                    f"{f!r} opens with {head!r}: only WARC/1.0 framing "
-                    "is supported (the record delimiter is the literal "
-                    "version line; other versions would silently parse "
-                    "to zero records)")
-            return  # first readable file decides; one sniff is enough
+            if head.startswith(b"WARC/"):
+                if not head.startswith(b"WARC/1.0\r\n"):
+                    raise ValueError(
+                        f"{f!r} opens with {head!r}: only WARC/1.0 "
+                        "framing is supported (the record delimiter is "
+                        "the literal version line; other versions "
+                        "would silently parse to zero records)")
+                return  # first WARC-headed file decides the version
+            # non-WARC head (_SUCCESS, checksums, READMEs in crawl
+            # dirs): keep scanning — returning here would skip the
+            # sniff for the actual .wet files behind it (review r05)
 
 
 def _wet_records(raw: DataFrame,

@@ -174,7 +174,6 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
                         fmt=sniff_format(args.input))
     if args.as_webpages or "url" not in pages.columns:
         pages = as_webpages(pages, inject_pii=args.inject_pii)
-    funnel["input"] = pages.count()
 
     pipe_kwargs: dict = {"line_scrub": getattr(args, "line_scrub", False)}
     if getattr(args, "drop_noindex", False):
@@ -186,8 +185,15 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         from luzzu_spark.rules.registry import (extended_registry,
                                                 robots_noindex_rule)
         pipe_kwargs["registry"] = extended_registry(robots_noindex_rule())
-        funnel["noindex_flagged"] = pages.where(
-            F.col("robots_noindex")).count()
+        # one ingest pass for both funnel numbers (review r05)
+        row = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("robots_noindex").cast("long")).alias("nx")
+        ).collect()[0]
+        funnel["input"] = row["n"]
+        funnel["noindex_flagged"] = int(row["nx"] or 0)
+    else:
+        funnel["input"] = pages.count()
 
     kept = QualityPipeline(**pipe_kwargs).filtered(pages)
     funnel["quality_kept"] = kept.count()

@@ -249,7 +249,6 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         return partition_lineage(assessed)
 
     corpus = read_corpus(spark, args.input, schema=schema, fmt=fmt)
-    n_docs = corpus.count()
     n_noindex = None
     if getattr(args, "drop_noindex", False):
         if "robots_noindex" not in corpus.columns:
@@ -258,9 +257,18 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
                 "the raw-WARC reader computes it (input format "
                 f"{fmt!r} does not); ingest the crawl with "
                 "--input-format warc or precompute the column")
-        # funnel number for the run report; the actual drop happens in
-        # the registered rule (counted per-batch in drop_reasons too)
-        n_noindex = corpus.where(F.col("robots_noindex")).count()
+        # funnel number for the run report, folded into the SAME
+        # ingest pass as the input count (review r05: a separate
+        # where().count() re-parsed the whole crawl); the actual drop
+        # happens in the registered rule (counted per-batch in
+        # drop_reasons too)
+        row = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("robots_noindex").cast("long")).alias("nx")
+        ).collect()[0]
+        n_docs, n_noindex = row["n"], int(row["nx"] or 0)
+    else:
+        n_docs = corpus.count()
     result: dict = {}
     if args.bench:
         assessed = prepare(corpus)
@@ -312,15 +320,25 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
     if nd_prefix:
         if args.repeat != 1:
             raise ValueError("--neardup-index requires --repeat 1")
-        from luzzu_spark.dedup import commit_minhash_index
+        from luzzu_spark.dedup import _table_epochs, commit_minhash_index
         nd_path = getattr(args, "neardup_path", None) or os.path.join(
             args.output, "neardup_index")
         kept = spark.read.parquet(ResumableRun.output_glob(args.output))
+        # every CLI run commits under its OWN epoch id (next integer
+        # after the committed ones) — without this, every daily append
+        # lands in the shared epoch=-1 partition and --neardup-compact
+        # has nothing to merge (review r05); a rerun of a failed
+        # commit picks the same next id, keeping the append
+        # at-least-once like before
+        epoch_id = (max(_table_epochs(spark, nd_sigs), default=-1) + 1
+                    if nd_exists else 0)
         commit_minhash_index(kept, nd_sigs, nd_bands, nd_path,
                              n_buckets=args.n_buckets,
-                             mode="append" if nd_exists else "overwrite")
+                             mode="append" if nd_exists else "overwrite",
+                             epoch_id=epoch_id)
         result["neardup_index"] = nd_prefix
         result["neardup_mode"] = "append" if nd_exists else "create"
+        result["neardup_epoch"] = epoch_id
         keep = getattr(args, "neardup_compact", None)
         if keep is not None:
             from luzzu_spark.dedup import compact_minhash_index

@@ -333,12 +333,13 @@ def test_run_filter_cli_neardup_index_flow(spark, tmp_path):
             input=day2_in, output=str(tmp_path / "nd2_out"),
             neardup_compact=1))
         assert r2["complete"] and r2["neardup_mode"] == "append"
-        # --neardup-compact plumbing: batch appends share the epoch=-1
-        # partition, so compaction correctly reports a no-op here (the
-        # multi-epoch merge itself is covered in
-        # test_dedup_similarity.test_compact_minhash_index_*)
+        # each CLI run commits under its OWN epoch (review r05: the
+        # shared epoch=-1 append made --neardup-compact a guaranteed
+        # no-op); with only one epoch older than the newest there is
+        # nothing to merge yet
+        assert r1["neardup_epoch"] == 0 and r2["neardup_epoch"] == 1
         assert r2["neardup_compaction"]["sigs"]["merged_epochs"] == []
-        assert r2["neardup_compaction"]["sigs"]["n_partitions"] == 1
+        assert r2["neardup_compaction"]["sigs"]["n_partitions"] == 2
 
         out2 = spark.read.parquet(
             ResumableRun.output_glob(str(tmp_path / "nd2_out")))
@@ -348,6 +349,38 @@ def test_run_filter_cli_neardup_index_flow(spark, tmp_path):
         # survivors appended for day 3
         assert spark.table("cli_nd_idx_sigs").count() \
             == n_day1 + len(ids2)
+
+        # day 3: a third epoch makes compaction actually merge — the
+        # two older epochs collapse into one baseline partition and
+        # the day-3 epoch survives (steady state ≤ keep_epochs + 1)
+        day3_in = str(tmp_path / "day3_in")
+        docs.where("doc_id >= 40 AND doc_id < 50").repartition(2) \
+            .write.mode("overwrite").parquet(day3_in)
+        r3 = rf.run_job(spark, mkargs(
+            input=day3_in, output=str(tmp_path / "nd3_out"),
+            neardup_compact=1))
+        assert r3["complete"] and r3["neardup_epoch"] == 2
+        assert r3["neardup_compaction"]["sigs"]["merged_epochs"] \
+            == [0, 1]
+        assert r3["neardup_compaction"]["sigs"]["n_partitions"] == 2
+        n_total = spark.table("cli_nd_idx_sigs").count()
+
+        # day 4 against the compacted index: a twin of day-3 content
+        # still drops (the merge lost nothing)
+        base40 = docs.where("doc_id = 40").collect()[0]
+        twin3 = "changed " + base40["text"].split(" ", 1)[1]
+        day4_in = str(tmp_path / "day4_in")
+        spark.createDataFrame(
+            [(901, twin3, base40["lang"], base40["source"],
+              len(twin3))], docs.schema).repartition(1) \
+            .write.mode("overwrite").parquet(day4_in)
+        r4 = rf.run_job(spark, mkargs(
+            input=day4_in, output=str(tmp_path / "nd4_out")))
+        assert r4["complete"] and r4["neardup_epoch"] == 3
+        out4 = spark.read.parquet(
+            ResumableRun.output_glob(str(tmp_path / "nd4_out")))
+        assert out4.count() == 0, "post-compaction twin not dropped"
+        assert spark.table("cli_nd_idx_sigs").count() == n_total
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_nd_idx_sigs")
         spark.sql("DROP TABLE IF EXISTS cli_nd_idx_bands")

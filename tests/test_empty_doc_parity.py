@@ -52,6 +52,13 @@ SCORE_QUERIES = (
     "text_stopword_presence",
     "text_dup_para_fraction",
     "metrics_daq_hierarchy",
+    # r05 additions: per-profile firing rates (a profile key whose
+    # docs are ALL zero-token must sum fired to 0, not NULL — review
+    # r05), BPE packing, char-offset excision, bloom seen-set
+    "docs_lang_profile_rates",
+    "pack_bpe_sequences",
+    "dedup_dup_span_excision",
+    "dedup_bloom_seen_filter",
 )
 
 # NOTE: texts follow the declared token model (single-space separated,

@@ -107,3 +107,28 @@ def test_lang_profile_rule_empty_doc_parity(spark):
         dr = list(r["drop_reasons"])
         assert dr[:2] == ["min_chars", "word_count"], dr
         assert "stopword_frac" not in dr
+
+
+def test_profile_rates_all_zero_token_group(spark, tmp_path):
+    """review r05: a profile key whose docs are ALL zero-token must
+    report n_fired = 0 (the oracle's CASE ... ELSE 0), not NULL (what
+    an uncoalesced SUM over all-NULL fired flags returns)."""
+    import os
+
+    import pandas as pd
+
+    from luzzu_spark.queries_web import docs_lang_profile_rates
+    d = str(tmp_path / "sf_zero")
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["", "   ", None],
+        "lang": ["en"] * 3,
+        "source": ["s0"] * 3,
+        "n_chars": [0, 3, 0],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    rows = docs_lang_profile_rates(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_fired"] == 0, rows
+    assert rows[0]["n_docs"] == 3

@@ -108,3 +108,39 @@ def test_entry_smoke(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert "n_keep" in out.columns
+
+
+def test_vertical_tab_doc_parity(spark, tmp_path):
+    """review r05: Java \\s includes \\x0b, RE2's does not — the
+    signature-replay oracles tokenize with the explicit class
+    [ \\t\\n\\x0b\\f\\r]+ so a vertical-tab doc replays identically.
+    Runs the minhash-pairs query both engines over a corpus where the
+    ONLY near-dup pair is separated by \\x0b in one of the twins."""
+    import pandas as pd
+
+    base = " ".join(f"sig{i}" for i in range(40))
+    twin = base.replace("sig5 sig6", "sig5\x0bsig6")
+    texts = [base, twin,
+             "completely different filler words " * 6,
+             "another unrelated document body here " * 6]
+    d = str(tmp_path / "sf_vtab")
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s0"] * len(texts),
+        "n_chars": [len(t) for t in texts]})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    try:
+        q = entrymod.queries()["dedup_minhash_pairs"]
+        s_rows = sorted(tuple(r) for r in q(spark, d).collect())
+        d_rows = sorted(tuple(r) for r in con.execute(
+            entrymod.oracle_sql()["dedup_minhash_pairs"]).fetchall())
+        assert len(s_rows) == len(d_rows) > 0
+        for sr, dr in zip(s_rows, d_rows):
+            for sv, dv in zip(sr, dr):
+                assert _values_equal(sv, dv), (sr, dr)
+    finally:
+        con.close()

@@ -318,6 +318,15 @@ def test_read_wet_rejects_warc_11(spark, tmp_path):
     # directory form: first readable file decides
     with pytest.raises(ValueError, match="WARC/1.0"):
         read_wet(spark, str(tmp_path))
+    # a non-WARC auxiliary file sorting FIRST (_SUCCESS, checksums)
+    # must not swallow the sniff for the real crawl files behind it
+    # (review r05: the early return skipped them silently)
+    d2 = tmp_path / "crawl"
+    d2.mkdir()
+    (d2 / "_SUCCESS").write_bytes(b"")
+    (d2 / "part-000.wet").write_bytes(body)
+    with pytest.raises(ValueError, match="WARC/1.0"):
+        read_wet(spark, str(d2))
 
 
 def test_read_wet_gzip_transparent(spark, wet_path, tmp_path):
