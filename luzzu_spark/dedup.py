@@ -681,6 +681,93 @@ def _bloom_membership_col(spark, bloom: bytes, k: int, m_bits: int,
     return might_contain.asNondeterministic()(h1, h2)
 
 
+def bloom_index_commit(df: DataFrame, key: str, path: str,
+                       fpp: float = 0.01,
+                       expected_items: int | None = None) -> dict:
+    """Persist (or update) a Bloom index of the seen keys at ``path``
+    — the mode where the BITMAP ITSELF is the cross-run state (the
+    Dolma deduper's published design): later runs filter against the
+    index with ZERO committed-side I/O; each run ORs its own keys in.
+
+    First call creates ``path/`` (meta.json + bitmap.bin) sized from
+    ``expected_items`` (or a count job) at ``fpp`` — size it for the
+    CORPUS LIFETIME, not the first batch: the bitmap cannot grow, and
+    its fpp degrades as it fills (meta tracks `committed_items`; the
+    load path warns past the design point). Update calls OR the new
+    keys into the existing bitmap (m/k immutable once created).
+
+    Atomicity: the bitmap is written to a temp file then os.replace'd
+    — a crashed commit leaves the previous bitmap intact, and a
+    REPLAYED commit is idempotent by construction (OR of the same
+    keys is a no-op). The driver holds one bitmap (m/8 bytes, the
+    same bound as bloom_build)."""
+    import json as _json
+    import os as _os
+    spark = df.sparkSession
+    meta_p = _os.path.join(path, "meta.json")
+    bitmap_p = _os.path.join(path, "bitmap.bin")
+    if _os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = _json.load(f)
+        m_bits, k = meta["m_bits"], meta["k"]
+        with open(bitmap_p, "rb") as f:
+            base = np.frombuffer(f.read(), dtype=np.uint8).copy()
+    else:
+        n = (expected_items if expected_items is not None
+             else df.count())
+        m_bits, k = bloom_params(n, fpp)
+        meta = {"m_bits": m_bits, "k": k, "fpp": fpp,
+                "design_items": max(int(n), 1), "committed_items": 0}
+        base = np.zeros(m_bits // 8, dtype=np.uint8)
+    n_new = df.count()
+    update = np.frombuffer(bloom_build(df.select(key), key, m_bits, k),
+                           dtype=np.uint8)
+    base |= update
+    meta["committed_items"] = int(meta["committed_items"]) + int(n_new)
+    _os.makedirs(path, exist_ok=True)
+    tmp = bitmap_p + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(base.tobytes())
+    _os.replace(tmp, bitmap_p)
+    with open(meta_p, "w") as f:
+        _json.dump(meta, f)
+    return dict(meta)
+
+
+def bloom_index_filter(batch: DataFrame, path: str,
+                       key: str) -> DataFrame:
+    """Drop every batch row whose key the persisted Bloom index might
+    contain — the APPROXIMATE cross-run dedup mode (Dolma-style): no
+    committed table is read at all, so the cost is one map-only Arrow
+    stage over the batch regardless of corpus history. Guarantees: a
+    key previously committed is ALWAYS dropped (no false negatives);
+    ~fpp of genuinely-novel keys drop too (false positives) — an
+    over-drop, never a leaked duplicate, which is the safe direction
+    for training dedup. Callers holding the committed table who need
+    exactness use seen_bloom_anti_join instead.
+
+    Warns (loudly, driver-side) when the index has been filled past
+    its design point — fpp grows past the configured target there."""
+    import json as _json
+    import os as _os
+    import warnings
+    with open(_os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta["committed_items"] > meta["design_items"]:
+        warnings.warn(
+            f"bloom index {path} holds {meta['committed_items']} keys, "
+            f"past its design point {meta['design_items']} — actual "
+            f"false-positive rate exceeds fpp={meta['fpp']}; recreate "
+            "the index sized for the corpus lifetime")
+    with open(_os.path.join(path, "bitmap.bin"), "rb") as f:
+        bloom = f.read()
+    maybe = _bloom_membership_col(batch.sparkSession, bloom,
+                                  meta["k"], meta["m_bits"],
+                                  F.col(key))
+    return (batch.withColumn("_maybe_seen", maybe)
+            .where(~F.col("_maybe_seen")).drop("_maybe_seen"))
+
+
 def seen_bloom_anti_join(batch: DataFrame, seen: DataFrame,
                          key: str = "url", fpp: float = 0.01,
                          expected_items: int | None = None) -> DataFrame:

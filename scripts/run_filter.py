@@ -86,6 +86,21 @@ def build_args() -> argparse.Namespace:
                         "map-only; result identical to the exact path. "
                         "Use when the batch is mostly new or the seen "
                         "table is not bucket-aligned to the batch")
+    p.add_argument("--seen-bloom-path", default=None, metavar="DIR",
+                   help="persisted Bloom index (Dolma-style "
+                        "APPROXIMATE cross-run dedup, no committed "
+                        "table read at all): incoming urls the index "
+                        "might contain are dropped pre-assessment "
+                        "(committed urls always drop; ~fpp of novel "
+                        "urls over-drop, never a leaked duplicate); "
+                        "after the run, the kept urls are OR-ed into "
+                        "the index. Created on the first run — size "
+                        "it for the corpus lifetime with "
+                        "--bloom-expected")
+    p.add_argument("--bloom-expected", type=int, default=None,
+                   help="design capacity (total keys over the index "
+                        "lifetime) for the --seen-bloom-path create; "
+                        "default: the first run's kept count")
     p.add_argument("--commit-bucket-table", default=None,
                    help="after the run, consolidate the kept corpus "
                         "into a url-bucketed catalog table under "
@@ -217,6 +232,14 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         global LAST_SEEN_PLAN
         if args.as_webpages or "url" not in pages.columns:
             pages = as_webpages(pages, inject_pii=args.inject_pii)
+        bloom_path = getattr(args, "seen_bloom_path", None)
+        if bloom_path and os.path.exists(
+                os.path.join(bloom_path, "meta.json")):
+            # approximate cross-run dedup: one map-only Arrow stage,
+            # zero committed-side I/O (committed urls always drop;
+            # ~fpp of novel urls over-drop — documented trade)
+            from luzzu_spark.dedup import bloom_index_filter
+            pages = bloom_index_filter(pages, bloom_path, "url")
         if seen is not None:
             # cross-run dedup: drop re-crawled urls BEFORE the UDF
             # stage pays for them; the committed (bucketed) side reads
@@ -344,6 +367,15 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
             from luzzu_spark.dedup import compact_minhash_index
             result["neardup_compaction"] = compact_minhash_index(
                 spark, nd_sigs, nd_bands, keep_epochs=keep)
+    bloom_path = getattr(args, "seen_bloom_path", None)
+    if bloom_path:
+        if args.repeat != 1:
+            raise ValueError("--seen-bloom-path requires --repeat 1")
+        from luzzu_spark.dedup import bloom_index_commit
+        kept = spark.read.parquet(ResumableRun.output_glob(args.output))
+        result["bloom_index"] = bloom_index_commit(
+            kept, "url", bloom_path,
+            expected_items=getattr(args, "bloom_expected", None))
     return result
 
 

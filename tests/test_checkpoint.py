@@ -442,3 +442,54 @@ def test_run_filter_cli_seen_bloom_flow(spark, tmp_path):
         assert out_bloom  # novel docs made it through
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_bloom_corpus")
+
+
+def test_run_filter_cli_bloom_index_flow(spark, tmp_path):
+    """--seen-bloom-path (r05): the persisted-bitmap approximate mode
+    from the production entry point. Day 1 creates the index from its
+    kept urls; day 2 drops every re-crawled url pre-assessment with
+    ZERO committed-table reads, keeps the genuinely new docs, and
+    ORs its own keeps back into the index."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1_in = str(tmp_path / "d1")
+    day2_in = str(tmp_path / "d2")
+    docs.where("doc_id < 30").repartition(2) \
+        .write.mode("overwrite").parquet(day1_in)
+    docs.where("doc_id >= 20 AND doc_id < 50").repartition(2) \
+        .write.mode("overwrite").parquet(day2_in)
+    idx = str(tmp_path / "bloom_idx")
+
+    def mkargs(**kw):
+        base = dict(input=None, output=None, master=None, batch_size=2,
+                    repeat=1, as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False, seen_bloom_path=idx,
+                    bloom_expected=1000)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r1 = rf.run_job(spark, mkargs(
+        input=day1_in, output=str(tmp_path / "out1")))
+    assert r1["complete"]
+    n1 = r1["bloom_index"]["committed_items"]
+    assert n1 > 0
+    day1_urls = {r.url for r in spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out1")))
+        .select("url").collect()}
+
+    r2 = rf.run_job(spark, mkargs(
+        input=day2_in, output=str(tmp_path / "out2")))
+    assert r2["complete"]
+    out2 = {r.url for r in spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out2")))
+        .select("url").collect()}
+    assert not (out2 & day1_urls), "re-crawled url leaked past the index"
+    assert out2, "every novel doc over-dropped"
+    assert r2["bloom_index"]["committed_items"] == n1 + len(out2)

@@ -1024,3 +1024,60 @@ def test_bloom_no_false_negatives_and_fpp_bound(spark):
     fp = flagged.where(
         "url LIKE 'http://novel.example/%' AND maybe").count()
     assert fp / n <= 0.05, f"fp rate {fp / n} vs configured 0.01"
+
+
+def test_bloom_index_persisted_roundtrip(spark, tmp_path):
+    """bloom_index_commit / bloom_index_filter: the persisted-bitmap
+    cross-run mode. Committed keys ALWAYS drop (no false negatives);
+    survivors are a subset of the exact novel set with at most ~fpp
+    over-drop; re-committing the same keys is a bitmap no-op (OR
+    idempotence) so filter results are unchanged under replay."""
+    idx = str(tmp_path / "bloom_idx")
+    day1 = spark.createDataFrame(
+        [(f"http://d1.example/{i}",) for i in range(500)], "url string")
+    meta = dedup.bloom_index_commit(day1, "url", idx, fpp=0.01,
+                                    expected_items=2000)
+    assert meta["committed_items"] == 500
+    batch = spark.createDataFrame(
+        [(f"http://d1.example/{i}",) for i in range(500)]      # dups
+        + [(f"http://new.example/{i}",) for i in range(500)],  # novel
+        "url string")
+    out = {r["url"] for r in
+           dedup.bloom_index_filter(batch, idx, "url").collect()}
+    assert not any("d1.example" in u for u in out), "dup leaked"
+    novel = {f"http://new.example/{i}" for i in range(500)}
+    assert out <= novel
+    assert len(novel - out) <= 25, f"over-drop {len(novel - out)}/500"
+
+    # replayed commit: bitmap unchanged -> identical filter result
+    with open(f"{idx}/bitmap.bin", "rb") as f:
+        bm_before = f.read()
+    dedup.bloom_index_commit(day1, "url", idx)
+    with open(f"{idx}/bitmap.bin", "rb") as f:
+        assert f.read() == bm_before
+    out2 = {r["url"] for r in
+            dedup.bloom_index_filter(batch, idx, "url").collect()}
+    assert out2 == out
+
+    # day-2 commit of the survivors: they drop on day 3
+    day2_kept = spark.createDataFrame([(u,) for u in sorted(out)],
+                                      "url string")
+    dedup.bloom_index_commit(day2_kept, "url", idx)
+    out3 = dedup.bloom_index_filter(
+        spark.createDataFrame([(u,) for u in sorted(out)],
+                              "url string"), idx, "url")
+    assert out3.count() == 0
+
+
+def test_bloom_index_design_point_warning(spark, tmp_path):
+    """Filling the index past its design capacity must WARN (fpp has
+    degraded past the configured target)."""
+    import warnings as _w
+    idx = str(tmp_path / "tiny_idx")
+    a = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100)], "url string")
+    dedup.bloom_index_commit(a, "url", idx, expected_items=50)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dedup.bloom_index_filter(a, idx, "url").count()
+    assert any("design point" in str(w.message) for w in rec)
