@@ -706,6 +706,7 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
     spark = df.sparkSession
     meta_p = _os.path.join(path, "meta.json")
     bitmap_p = _os.path.join(path, "bitmap.bin")
+    n_new = None
     if _os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = _json.load(f)
@@ -713,13 +714,16 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
         with open(bitmap_p, "rb") as f:
             base = np.frombuffer(f.read(), dtype=np.uint8).copy()
     else:
-        n = (expected_items if expected_items is not None
-             else df.count())
+        if expected_items is not None:
+            n = expected_items
+        else:
+            n = n_new = df.count()
         m_bits, k = bloom_params(n, fpp)
         meta = {"m_bits": m_bits, "k": k, "fpp": fpp,
                 "design_items": max(int(n), 1), "committed_items": 0}
         base = np.zeros(m_bits // 8, dtype=np.uint8)
-    n_new = df.count()
+    if n_new is None:
+        n_new = df.count()
     update = np.frombuffer(bloom_build(df.select(key), key, m_bits, k),
                            dtype=np.uint8)
     base |= update

@@ -185,6 +185,16 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
     from luzzu_spark.sources import DOCUMENTS_SCHEMA, read_corpus, \
         sniff_format
 
+    if args.repeat != 1:
+        # pre-flight: the committed-state flags are one-corpus-one-state
+        # by contract — fail BEFORE the run, not after paying for it
+        for flag, name in ((args.commit_bucket_table,
+                            "--commit-bucket-table"),
+                           (getattr(args, "seen_bloom_path", None),
+                            "--seen-bloom-path")):
+            if flag:
+                raise ValueError(f"{name} requires --repeat 1 "
+                                 "(one corpus, one committed state)")
     extra = getattr(args, "sql_rule", None)
     extra_rules = []
     if extra:

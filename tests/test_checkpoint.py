@@ -493,3 +493,33 @@ def test_run_filter_cli_bloom_index_flow(spark, tmp_path):
     assert not (out2 & day1_urls), "re-crawled url leaked past the index"
     assert out2, "every novel doc over-dropped"
     assert r2["bloom_index"]["committed_items"] == n1 + len(out2)
+
+
+def test_run_filter_cli_committed_state_preflight(spark, tmp_path):
+    """--repeat N>1 with a committed-state flag must fail BEFORE the
+    run (pre-flight), not after paying for N full passes: one corpus,
+    one committed state."""
+    import argparse
+
+    import pytest
+
+    import scripts.run_filter as rf
+
+    def mkargs(**kw):
+        base = dict(input=str(tmp_path / "none"), output=str(tmp_path),
+                    master=None, batch_size=2, repeat=3,
+                    as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    with pytest.raises(ValueError, match="--seen-bloom-path"):
+        rf.run_job(spark, mkargs(
+            seen_bloom_path=str(tmp_path / "idx")))
+    with pytest.raises(ValueError, match="--commit-bucket-table"):
+        rf.run_job(spark, mkargs(commit_bucket_table="t"))
+    # the input dir was never touched — the raise really was pre-flight
+    assert not (tmp_path / "none").exists()
