@@ -681,58 +681,159 @@ def _bloom_membership_col(spark, bloom: bytes, k: int, m_bits: int,
     return might_contain.asNondeterministic()(h1, h2)
 
 
+def _bloom_shard_col(key_col, shards: int):
+    """Shard id of a key: a THIRD xxhash64 (seed 2), independent of the
+    two position hashes (seeds 0/1) — sharding on h1 itself would pin
+    every shard-s key's first bit position to a residue class of m."""
+    return F.pmod(F.xxhash64(key_col, F.lit(2)), F.lit(shards))
+
+
+def _bloom_shard_file(path: str, shard: int, shards: int) -> str:
+    import os as _os
+    if shards == 1:
+        return _os.path.join(path, "bitmap.bin")
+    return _os.path.join(path, f"shard_{shard:05d}.bin")
+
+
+def _bloom_build_shards(seen: DataFrame, key: str, m_bits: int, k: int,
+                        shards: int):
+    """Yield (shard_id, bitmap_bytes) for every shard PRESENT in
+    ``seen`` — the sharded twin of bloom_build. The hash projection
+    (h1, h2, shard: 24 B/row) shuffles once on (shard, salt) so each
+    fold task holds bitmaps for ~1 shard (executor memory = one shard,
+    not the whole index); per-shard partial bitmaps merge in one
+    grouped stage (≤ salt·collisions rows each); the driver consumes
+    the result through toLocalIterator — peak ONE shard bitmap, never
+    the full index (the property that lets a 100 B-key lifetime index
+    commit from a normal driver)."""
+    nbytes = m_bits // 8
+    hashed = (seen.select(
+        *_bloom_hash_cols(F.col(key)),
+        _bloom_shard_col(F.col(key), shards).cast("int").alias("_sh"))
+        .repartition(F.col("_sh"), F.pmod(F.col("_h1"), F.lit(8))))
+
+    def fold(batches):
+        bms: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for s, grp in pdf.groupby("_sh"):
+                bm = bms.setdefault(int(s),
+                                    np.zeros(nbytes, dtype=np.uint8))
+                pos = _bloom_positions(grp["_h1"].to_numpy(),
+                                       grp["_h2"].to_numpy(),
+                                       k, m_bits).reshape(-1)
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(np.uint8(1),
+                                  (pos & np.uint64(7)).astype(np.uint8)))
+        if bms:
+            yield pd.DataFrame({"_sh": list(bms),
+                                "_bm": [b.tobytes()
+                                        for b in bms.values()]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for b in pdf["_bm"]:
+            bm |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"_sh": [int(pdf["_sh"].iloc[0])],
+                             "_bm": [bm.tobytes()]})
+
+    schema = "_sh int, _bm binary"
+    merged = (hashed.mapInPandas(fold, schema=schema)
+              .groupBy("_sh").applyInPandas(merge, schema=schema))
+    # driver-incremental: one (shard, m/8-byte) row at a time
+    for row in merged.toLocalIterator():
+        yield int(row["_sh"]), row["_bm"]
+
+
 def bloom_index_commit(df: DataFrame, key: str, path: str,
                        fpp: float = 0.01,
-                       expected_items: int | None = None) -> dict:
+                       expected_items: int | None = None,
+                       shards: int = 1) -> dict:
     """Persist (or update) a Bloom index of the seen keys at ``path``
     — the mode where the BITMAP ITSELF is the cross-run state (the
     Dolma deduper's published design): later runs filter against the
     index with ZERO committed-side I/O; each run ORs its own keys in.
 
-    First call creates ``path/`` (meta.json + bitmap.bin) sized from
+    First call creates ``path/`` (meta.json + bitmap files) sized from
     ``expected_items`` (or a count job) at ``fpp`` — size it for the
     CORPUS LIFETIME, not the first batch: the bitmap cannot grow, and
     its fpp degrades as it fills (meta tracks `committed_items`; the
     load path warns past the design point). Update calls OR the new
-    keys into the existing bitmap (m/k immutable once created).
+    keys in (m/k/shards immutable once created).
 
-    Atomicity: the bitmap is written to a temp file then os.replace'd
-    — a crashed commit leaves the previous bitmap intact, and a
-    REPLAYED commit is idempotent by construction (OR of the same
-    keys is a no-op). The driver holds one bitmap (m/8 bytes, the
-    same bound as bloom_build)."""
+    ``shards`` (create-time only): past GB-scale bitmaps (≥ ~10⁹ keys
+    at 1%), one driver-held/broadcast bitmap stops fitting — S shards
+    split the index into S files of (lifetime/S)-sized bitmaps, keyed
+    by an independent hash of the key. Commit then streams ONE shard
+    at a time through the driver (toLocalIterator) and the filter
+    loads exactly one shard per task (see bloom_index_filter). Size S
+    so a shard is ~256 MB–1 GB; S=1 (default) keeps the single-file
+    layout and the map-only filter path.
+
+    Atomicity: each bitmap file is written to a temp file then
+    os.replace'd — a crashed commit leaves every previous bitmap
+    intact (meta, written last, still under-counts: harmless, the
+    fill warning fires later), and a REPLAYED commit is idempotent by
+    construction (OR of the same keys is a no-op)."""
     import json as _json
     import os as _os
-    spark = df.sparkSession
     meta_p = _os.path.join(path, "meta.json")
-    bitmap_p = _os.path.join(path, "bitmap.bin")
     n_new = None
     if _os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = _json.load(f)
         m_bits, k = meta["m_bits"], meta["k"]
-        with open(bitmap_p, "rb") as f:
-            base = np.frombuffer(f.read(), dtype=np.uint8).copy()
+        shards = int(meta.get("shards", 1))
+        created = False
     else:
         if expected_items is not None:
             n = expected_items
         else:
             n = n_new = df.count()
-        m_bits, k = bloom_params(n, fpp)
+        shards = max(1, int(shards))
+        # all shards share one size, designed for an even key split
+        m_bits, k = bloom_params(max(1, -(-max(int(n), 1) // shards)),
+                                 fpp)
         meta = {"m_bits": m_bits, "k": k, "fpp": fpp,
-                "design_items": max(int(n), 1), "committed_items": 0}
-        base = np.zeros(m_bits // 8, dtype=np.uint8)
+                "design_items": max(int(n), 1), "committed_items": 0,
+                "shards": shards}
+        created = True
     if n_new is None:
         n_new = df.count()
-    update = np.frombuffer(bloom_build(df.select(key), key, m_bits, k),
-                           dtype=np.uint8)
-    base |= update
-    meta["committed_items"] = int(meta["committed_items"]) + int(n_new)
+    nbytes = m_bits // 8
     _os.makedirs(path, exist_ok=True)
-    tmp = bitmap_p + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(base.tobytes())
-    _os.replace(tmp, bitmap_p)
+
+    def write_shard(s: int, update: bytes | None) -> None:
+        fpath = _bloom_shard_file(path, s, shards)
+        if _os.path.exists(fpath):
+            if update is None:
+                return
+            with open(fpath, "rb") as f:
+                base = np.frombuffer(f.read(), dtype=np.uint8).copy()
+        else:
+            base = np.zeros(nbytes, dtype=np.uint8)
+        if update is not None:
+            base |= np.frombuffer(update, dtype=np.uint8)
+        tmp = fpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(base.tobytes())
+        _os.replace(tmp, fpath)
+
+    if shards == 1:
+        write_shard(0, bloom_build(df.select(key), key, m_bits, k))
+    else:
+        touched = set()
+        for s, bm in _bloom_build_shards(df.select(key), key,
+                                         m_bits, k, shards):
+            write_shard(s, bm)
+            touched.add(s)
+        if created:
+            for s in range(shards):    # zero files for absent shards
+                if s not in touched:
+                    write_shard(s, None)
+    meta["committed_items"] = int(meta["committed_items"]) + int(n_new)
     with open(meta_p, "w") as f:
         _json.dump(meta, f)
     return dict(meta)
@@ -750,6 +851,17 @@ def bloom_index_filter(batch: DataFrame, path: str,
     for training dedup. Callers holding the committed table who need
     exactness use seen_bloom_anti_join instead.
 
+    A SHARDED index (meta["shards"] = S > 1, see bloom_index_commit)
+    never broadcasts: the batch repartitions once on the shard id
+    (salted ×8 for parallelism) and each task memory-maps exactly ONE
+    shard file from ``path`` — executor memory is one shard bitmap, so
+    a 100 GB lifetime index filters with 1 GB shards on ordinary
+    workers. The shuffle moves each batch row once; that is the
+    documented price of a bitmap too big to broadcast (S=1 stays the
+    zero-shuffle map-only path). The index directory must be readable
+    from the executors — it lives on the shared store (the same
+    requirement as any committed table).
+
     Warns (loudly, driver-side) when the index has been filled past
     its design point — fpp grows past the configured target there."""
     import json as _json
@@ -763,13 +875,47 @@ def bloom_index_filter(batch: DataFrame, path: str,
             f"past its design point {meta['design_items']} — actual "
             f"false-positive rate exceeds fpp={meta['fpp']}; recreate "
             "the index sized for the corpus lifetime")
-    with open(_os.path.join(path, "bitmap.bin"), "rb") as f:
-        bloom = f.read()
-    maybe = _bloom_membership_col(batch.sparkSession, bloom,
-                                  meta["k"], meta["m_bits"],
-                                  F.col(key))
-    return (batch.withColumn("_maybe_seen", maybe)
-            .where(~F.col("_maybe_seen")).drop("_maybe_seen"))
+    k, m_bits = meta["k"], meta["m_bits"]
+    shards = int(meta.get("shards", 1))
+    if shards == 1:
+        with open(_bloom_shard_file(path, 0, 1), "rb") as f:
+            bloom = f.read()
+        maybe = _bloom_membership_col(batch.sparkSession, bloom,
+                                      k, m_bits, F.col(key))
+        return (batch.withColumn("_maybe_seen", maybe)
+                .where(~F.col("_maybe_seen")).drop("_maybe_seen"))
+
+    out_cols = list(batch.columns)
+    hashed = (batch.select(
+        "*", *_bloom_hash_cols(F.col(key)),
+        _bloom_shard_col(F.col(key), shards).cast("int").alias("_sh"))
+        .repartition(F.col("_sh"), F.pmod(F.col("_h1"), F.lit(8))))
+
+    def survivors(batches):
+        cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            maybe = pd.Series(False, index=pdf.index)
+            for s, grp in pdf.groupby("_sh"):
+                bm = cache.get(int(s))
+                if bm is None:      # ~1 shard/task after repartition
+                    with open(_bloom_shard_file(path, int(s),
+                                                shards), "rb") as f:
+                        bm = np.frombuffer(f.read(), dtype=np.uint8)
+                    cache[int(s)] = bm
+                pos = _bloom_positions(grp["_h1"].to_numpy(),
+                                       grp["_h2"].to_numpy(),
+                                       k, m_bits)
+                hits = (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                        & np.left_shift(
+                            np.uint8(1),
+                            (pos & np.uint64(7)).astype(np.uint8))
+                        ) != 0
+                maybe.loc[grp.index] = hits.all(axis=1)
+            yield pdf.loc[~maybe, out_cols]
+
+    return hashed.mapInPandas(survivors, schema=batch.schema)
 
 
 def seen_bloom_anti_join(batch: DataFrame, seen: DataFrame,

@@ -62,11 +62,16 @@ _DRIVER_MAT_ALLOWED = {
     ("luzzu_spark/dedup.py", "bitmap_rows = final.collect()"):
         "exactly one Bloom bitmap row of m/8 bytes (sized by "
         "fpp/expected_items), independent of corpus row count",
+    ("luzzu_spark/dedup.py", "for row in merged.toLocalIterator()"):
+        "sharded Bloom commit: ≤shards rows of one shard bitmap "
+        "(m/8 bytes) each, consumed ONE at a time — driver peak is a "
+        "single shard regardless of index size",
 }
 
 
 def driver_materialization_hits(repo: str = REPO) -> list[str]:
-    """Unallowed .collect()/.toPandas() call sites in library code."""
+    """Unallowed .collect()/.toPandas()/.toLocalIterator() call sites
+    in library code."""
     hits = []
     lib = os.path.join(repo, "luzzu_spark")
     for root, _dirs, files in os.walk(lib):
@@ -78,7 +83,8 @@ def driver_materialization_hits(repo: str = REPO) -> list[str]:
             with open(path) as f:
                 for i, line in enumerate(f, 1):
                     if ".collect()" not in line and \
-                            ".toPandas()" not in line:
+                            ".toPandas()" not in line and \
+                            ".toLocalIterator()" not in line:
                         continue
                     if any(rel == af and sub in line
                            for (af, sub) in _DRIVER_MAT_ALLOWED):

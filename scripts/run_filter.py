@@ -101,6 +101,13 @@ def build_args() -> argparse.Namespace:
                    help="design capacity (total keys over the index "
                         "lifetime) for the --seen-bloom-path create; "
                         "default: the first run's kept count")
+    p.add_argument("--bloom-shards", type=int, default=1,
+                   help="shard count for the --seen-bloom-path create "
+                        "(immutable afterwards; later runs read it "
+                        "from the index meta). Use >1 past GB-scale "
+                        "bitmaps: each filter task then loads ONE "
+                        "shard instead of broadcasting the whole "
+                        "bitmap — size so a shard is ~256MB-1GB")
     p.add_argument("--commit-bucket-table", default=None,
                    help="after the run, consolidate the kept corpus "
                         "into a url-bucketed catalog table under "
@@ -385,7 +392,8 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         kept = spark.read.parquet(ResumableRun.output_glob(args.output))
         result["bloom_index"] = bloom_index_commit(
             kept, "url", bloom_path,
-            expected_items=getattr(args, "bloom_expected", None))
+            expected_items=getattr(args, "bloom_expected", None),
+            shards=getattr(args, "bloom_shards", 1))
     return result
 
 

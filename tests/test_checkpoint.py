@@ -523,3 +523,54 @@ def test_run_filter_cli_committed_state_preflight(spark, tmp_path):
         rf.run_job(spark, mkargs(commit_bucket_table="t"))
     # the input dir was never touched — the raise really was pre-flight
     assert not (tmp_path / "none").exists()
+
+
+def test_run_filter_cli_bloom_sharded_flow(spark, tmp_path):
+    """--seen-bloom-path --bloom-shards 4: the GB-scale index layout
+    from the production entry point — day 2 still drops every
+    re-crawled url, with the shard count read back from the index
+    meta (the CLI flag only matters at create)."""
+    import argparse
+    import os
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1_in = str(tmp_path / "d1")
+    day2_in = str(tmp_path / "d2")
+    docs.where("doc_id < 30").repartition(2) \
+        .write.mode("overwrite").parquet(day1_in)
+    docs.where("doc_id >= 20 AND doc_id < 50").repartition(2) \
+        .write.mode("overwrite").parquet(day2_in)
+    idx = str(tmp_path / "sharded_bloom_idx")
+
+    def mkargs(**kw):
+        base = dict(input=None, output=None, master=None, batch_size=2,
+                    repeat=1, as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False, seen_bloom_path=idx,
+                    bloom_expected=1000, bloom_shards=4)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r1 = rf.run_job(spark, mkargs(
+        input=day1_in, output=str(tmp_path / "out1")))
+    assert r1["bloom_index"]["shards"] == 4
+    assert sorted(f for f in os.listdir(idx) if f.endswith(".bin")) \
+        == [f"shard_0000{s}.bin" for s in range(4)]
+    day1_urls = {r.url for r in spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out1")))
+        .select("url").collect()}
+
+    # day 2: flag says 1, but the meta's 4 governs (immutable)
+    r2 = rf.run_job(spark, mkargs(
+        input=day2_in, output=str(tmp_path / "out2"), bloom_shards=1))
+    assert r2["bloom_index"]["shards"] == 4
+    out2 = {r.url for r in spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out2")))
+        .select("url").collect()}
+    assert not (out2 & day1_urls), "re-crawled url leaked past shards"
+    assert out2, "every novel doc over-dropped"

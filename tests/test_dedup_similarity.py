@@ -1081,3 +1081,80 @@ def test_bloom_index_design_point_warning(spark, tmp_path):
         _w.simplefilter("always")
         dedup.bloom_index_filter(a, idx, "url").count()
     assert any("design point" in str(w.message) for w in rec)
+
+
+def test_bloom_index_sharded_matches_guarantees(spark, tmp_path):
+    """shards=4: the sharded persisted index keeps every Bloom
+    guarantee — committed keys always drop, over-drop stays ~fpp,
+    replayed commits are byte-idempotent across ALL shard files —
+    while the filter path loads one shard per task instead of
+    broadcasting one bitmap (the ≥GB-index mode)."""
+    import os
+
+    idx = str(tmp_path / "sharded_idx")
+    day1 = spark.createDataFrame(
+        [(f"http://d1.example/{i}",) for i in range(500)], "url string")
+    meta = dedup.bloom_index_commit(day1, "url", idx, fpp=0.01,
+                                    expected_items=2000, shards=4)
+    assert meta["shards"] == 4 and meta["committed_items"] == 500
+    files = sorted(f for f in os.listdir(idx) if f.endswith(".bin"))
+    assert files == [f"shard_0000{s}.bin" for s in range(4)]
+    # every shard is sized for its SHARE of the lifetime, not all of it
+    m1, _ = dedup.bloom_params(2000, 0.01)
+    assert meta["m_bits"] < m1 and os.path.getsize(
+        os.path.join(idx, files[0])) == meta["m_bits"] // 8
+
+    batch = spark.createDataFrame(
+        [(f"http://d1.example/{i}",) for i in range(500)]
+        + [(f"http://new.example/{i}",) for i in range(500)],
+        "url string")
+    out = {r["url"] for r in
+           dedup.bloom_index_filter(batch, idx, "url").collect()}
+    assert not any("d1.example" in u for u in out), "dup leaked"
+    novel = {f"http://new.example/{i}" for i in range(500)}
+    assert out <= novel
+    assert len(novel - out) <= 25, f"over-drop {len(novel - out)}/500"
+
+    # replay: every shard file byte-identical, filter unchanged
+    before = {f: open(os.path.join(idx, f), "rb").read() for f in files}
+    dedup.bloom_index_commit(day1, "url", idx)
+    for f in files:
+        assert open(os.path.join(idx, f), "rb").read() == before[f]
+    out2 = {r["url"] for r in
+            dedup.bloom_index_filter(batch, idx, "url").collect()}
+    assert out2 == out
+
+    # incremental: commit the survivors, they drop next run
+    dedup.bloom_index_commit(
+        spark.createDataFrame([(u,) for u in sorted(out)],
+                              "url string"), "url", idx)
+    assert dedup.bloom_index_filter(
+        spark.createDataFrame([(u,) for u in sorted(out)],
+                              "url string"), idx, "url").count() == 0
+
+
+def test_bloom_index_meta_backcompat_no_shards_key(spark, tmp_path):
+    """An index written before the shards field existed (meta without
+    'shards') must read as a single-bitmap index — both commit and
+    filter."""
+    import json
+    import os
+
+    idx = str(tmp_path / "old_idx")
+    keys = spark.createDataFrame(
+        [(f"u{i}",) for i in range(200)], "url string")
+    dedup.bloom_index_commit(keys, "url", idx, expected_items=400)
+    meta_p = os.path.join(idx, "meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta.pop("shards")
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    # filter: committed keys all drop through the legacy layout
+    assert dedup.bloom_index_filter(keys, idx, "url").count() == 0
+    # commit: appends into bitmap.bin, does not re-shard
+    more = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], "url string")
+    dedup.bloom_index_commit(more, "url", idx)
+    assert os.path.exists(os.path.join(idx, "bitmap.bin"))
+    assert dedup.bloom_index_filter(more, idx, "url").count() == 0
