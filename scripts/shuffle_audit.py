@@ -213,6 +213,39 @@ def main() -> None:
     for t in ("audit_nd_sigs", "audit_nd_bands"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+    # ------------------------------------------------------------------
+    # r05: the three cross-run EXACT-dup modes, measured. The claims:
+    # bloom_index_filter S=1 is map-only (0 shuffle, zero committed-side
+    # I/O); the sharded layout pays one batch shuffle on the shard id
+    # (the price of a bitmap too big to broadcast); seen_bloom_anti_join
+    # moves only the might-contain candidates into the exact join.
+    # ------------------------------------------------------------------
+    from pyspark.sql import functions as F
+    day1k = day1.select(F.md5(F.coalesce("text", F.lit("")))
+                        .alias("content_key"))
+    day2k = docs_tbl.select(
+        "*", F.md5(F.coalesce("text", F.lit(""))).alias("content_key"))
+    bl1 = os.path.join(idx_path, "bloom1")
+    bl8 = os.path.join(idx_path, "bloom8")
+    _dd.bloom_index_commit(day1k, "content_key", bl1, shards=1)
+    _dd.bloom_index_commit(day1k, "content_key", bl8, shards=8)
+    audit("crossrun_bloom_index(S=1)",
+          lambda: _dd.bloom_index_filter(day2k, bl1, "content_key"),
+          input_bytes=docs_disk,
+          note="persisted bitmap, broadcast; approximate (~fpp "
+               "over-drop), zero committed-side I/O")
+    audit("crossrun_bloom_index(S=8 sharded)",
+          lambda: _dd.bloom_index_filter(day2k, bl8, "content_key"),
+          input_bytes=docs_disk,
+          note="one batch shuffle on the shard id — the GB-bitmap "
+               "layout's documented price")
+    audit("crossrun_bloom_anti_join(exact)",
+          lambda: _dd.seen_bloom_anti_join(day2k, day1k,
+                                           key="content_key"),
+          input_bytes=docs_disk,
+          note="Bloom-pruned exact anti-join: only might-contain "
+               "candidates enter the join")
+
     import scripts.build_corpus as bc
     kept = QualityPipeline().filtered(
         bench.replicated_pages(spark, SF_DIR, 1)).persist()
@@ -249,7 +282,11 @@ def main() -> None:
                 "text_nfc_normalize", "dsir_weighted_sample",
                 "text_html_extract", "dedup_cross_doc_paragraphs",
                 "ingest_spread(fixture artifact)",
-                "neardup_day2_incremental", "builder_exact_dedup",
+                "neardup_day2_incremental",
+                "crossrun_bloom_index(S=1)",
+                "crossrun_bloom_index(S=8 sharded)",
+                "crossrun_bloom_anti_join(exact)",
+                "builder_exact_dedup",
                 "builder_near_dup_survivors", "builder_paragraph_scrub",
                 "builder_span_excision_char", "builder_pack_seq_ids"}
     lines = [
