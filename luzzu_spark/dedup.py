@@ -750,7 +750,8 @@ def _bloom_build_shards(seen: DataFrame, key: str, m_bits: int, k: int,
 def bloom_index_commit(df: DataFrame, key: str, path: str,
                        fpp: float = 0.01,
                        expected_items: int | None = None,
-                       shards: int = 1) -> dict:
+                       shards: int = 1,
+                       count_items: bool = True) -> dict:
     """Persist (or update) a Bloom index of the seen keys at ``path``
     — the mode where the BITMAP ITSELF is the cross-run state (the
     Dolma deduper's published design): later runs filter against the
@@ -776,7 +777,10 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
     os.replace'd — a crashed commit leaves every previous bitmap
     intact (meta, written last, still under-counts: harmless, the
     fill warning fires later), and a REPLAYED commit is idempotent by
-    construction (OR of the same keys is a no-op)."""
+    construction (OR of the same keys is a no-op). A caller that KNOWS
+    it is re-committing already-counted keys (a replayed streaming
+    epoch) passes ``count_items=False`` so the fill counter doesn't
+    double-count (and the count job is skipped)."""
     import json as _json
     import os as _os
     meta_p = _os.path.join(path, "meta.json")
@@ -800,7 +804,9 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
                 "design_items": max(int(n), 1), "committed_items": 0,
                 "shards": shards}
         created = True
-    if n_new is None:
+    if not count_items:
+        n_new = 0
+    elif n_new is None:
         n_new = df.count()
     nbytes = m_bits // 8
     _os.makedirs(path, exist_ok=True)

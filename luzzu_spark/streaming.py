@@ -314,6 +314,75 @@ def write_stream_filtered_neardup(pages: DataFrame, out_path: str,
             .start())
 
 
+def write_stream_filtered_bloom(pages: DataFrame, out_path: str,
+                                checkpoint: str, bloom_path: str,
+                                key: str = "url",
+                                expected_items: int | None = None,
+                                shards: int = 1,
+                                pipeline: QualityPipeline | None = None):
+    """write_stream_filtered + a persisted-Bloom cross-epoch seen-set
+    (the streaming twin of run_filter.py --seen-bloom-path — Dolma's
+    continuous-dedup mode): each micro-batch drops keys any earlier
+    epoch kept, in one map-only Arrow stage with ZERO committed-side
+    I/O, runs the full pipeline, writes epoch-idempotently, and ORs
+    its kept keys into the bitmap. Approximate by contract: committed
+    keys always drop; ~fpp of novel keys over-drop (never a leaked
+    duplicate). Pass ``expected_items`` sized for the stream LIFETIME
+    on the first epoch (the bitmap cannot grow).
+
+    Replay protocol — the bitmap cannot un-OR, so ORDERING carries
+    the correctness: output first, then an epoch marker, then the
+    bitmap commit (always from the epoch's WRITTEN output, the single
+    source of truth).
+    - Replay BEFORE the marker: the bitmap holds no trace of this
+      epoch (its commit never ran), so the re-filter sees exactly what
+      the first attempt saw and the epoch directory rewrites
+      idempotently.
+    - Replay AFTER the marker: the epoch's output is complete on disk;
+      the sink re-commits that output's keys (OR-idempotent no-op)
+      and NEVER re-filters — the bitmap may already contain this
+      epoch's keys, and a re-filter would self-match the whole batch
+      away (the trap the near-dup index escapes with exclude_epoch;
+      a bitmap has no epochs to exclude, hence the marker)."""
+    import dataclasses
+    import os
+
+    from luzzu_spark.dedup import bloom_index_commit, bloom_index_filter
+    pipe = (dataclasses.replace(pipeline, auto_spread=False)
+            if pipeline is not None
+            else QualityPipeline(auto_spread=False))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(bloom_path,
+                              f"epoch_{int(epoch_id)}.written")
+        fresh = not os.path.exists(marker)
+        if fresh:
+            if os.path.exists(os.path.join(bloom_path, "meta.json")):
+                batch_df = bloom_index_filter(batch_df, bloom_path, key)
+            kept = pipe.filtered(batch_df)
+            write_epoch_idempotent(kept, out_path, epoch_id)
+            os.makedirs(bloom_path, exist_ok=True)
+            with open(marker, "w"):
+                pass
+        try:
+            kept_keys = (spark.read.parquet(out_path)
+                         .where(F.col("epoch") == int(epoch_id))
+                         .select(key))
+        except Exception:
+            return    # epoch kept nothing and no corpus exists yet
+        # a replayed epoch's keys were already counted the first time —
+        # re-OR them (idempotent) without inflating the fill counter
+        bloom_index_commit(kept_keys, key, bloom_path,
+                           expected_items=expected_items,
+                           shards=shards, count_items=fresh)
+
+    return (pages.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_to_memory(df: DataFrame, query_name: str,
                   output_mode: str = "append") -> "object":
     """Drain a stream into an in-memory table (tests/demos): returns the

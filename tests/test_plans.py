@@ -405,3 +405,34 @@ def test_no_unbounded_driver_materialization():
     import scripts.plan_audit as pa
     hits = pa.driver_materialization_hits()
     assert hits == [], hits
+
+
+def test_bloom_index_filter_plan_shapes(spark, tmp_path):
+    """The persisted Bloom index's two layouts, plan-pinned:
+
+    S=1 — ZERO exchanges, one ArrowEvalPython over the broadcast
+    bitmap: the map-only claim (SHUFFLE.md measures it at 0 bytes).
+    S>1 — exactly ONE Exchange (the batch aligning to shard files);
+    the per-task shard load is a mapInPandas, not a join, so the
+    committed index contributes no scan at all in either layout."""
+    from luzzu_spark import dedup
+
+    keys = spark.createDataFrame(
+        [(f"http://a.example/{i}",) for i in range(300)], "url string")
+    idx1 = str(tmp_path / "p1")
+    idx8 = str(tmp_path / "p8")
+    dedup.bloom_index_commit(keys, "url", idx1, shards=1)
+    dedup.bloom_index_commit(keys, "url", idx8, shards=8)
+    batch = spark.createDataFrame(
+        [(f"http://b.example/{i}", i) for i in range(300)],
+        "url string, doc_id long")
+
+    p1 = _plan(dedup.bloom_index_filter(batch, idx1, "url"))
+    assert "Exchange" not in p1, p1
+    assert p1.count("ArrowEvalPython") == 1, p1
+
+    p8 = _plan(dedup.bloom_index_filter(batch, idx8, "url"))
+    assert p8.count("Exchange hashpartitioning") == 1, p8
+    assert "MapInPandas" in p8, p8
+    # no second scan: the index is files, not a joined relation
+    assert p8.count("Scan") <= p1.count("Scan") + 1, p8

@@ -378,3 +378,70 @@ def test_stream_static_join_matches_batch(spark, tmp_path_factory):
     unmatched = got.where(F.col("event_type") == "error")
     assert unmatched.count() > 0
     assert unmatched.where(F.col("weight").isNotNull()).count() == 0
+
+
+def test_stream_filtered_bloom_cross_epoch_and_replay(spark, tmp_path):
+    """write_stream_filtered_bloom: the persisted-Bloom streaming
+    dedup. Epoch 2 re-sends an epoch-1 kept doc — its url must drop
+    (committed keys ALWAYS drop) while fresh docs survive; replaying
+    both epochs against the already-committed bitmap must leave the
+    corpus rows AND every bitmap byte unchanged (the marker protocol:
+    a replayed epoch never re-filters itself into oblivion)."""
+    import os
+    import time as _time
+
+    from luzzu_spark.fixtures import as_webpages, load_table
+
+    base = tmp_path / "bloom_stream"
+    page_dir = str(base / "pages")
+    docs = load_table(spark, SF, "documents")
+
+    epoch1_docs = docs.where("doc_id < 10")
+    pages1 = as_webpages(epoch1_docs)
+    kept1_ids = sorted(
+        r["doc_id"] for r in QualityPipeline(auto_spread=False)
+        .filtered(pages1).select("doc_id").collect())
+    assert kept1_ids, "need kept epoch-1 docs to seed the bitmap"
+    pages1.coalesce(1).write.mode("append").parquet(page_dir)
+    _time.sleep(1.2)  # file source orders by mtime
+
+    resent = epoch1_docs.where(f"doc_id = {kept1_ids[0]}")
+    epoch2_docs = docs.where("doc_id >= 10 AND doc_id < 15") \
+        .unionByName(resent)
+    as_webpages(epoch2_docs).coalesce(1).write.mode("append") \
+        .parquet(page_dir)
+
+    sink = str(base / "corpus")
+    idx = str(base / "bloom_idx")
+
+    def run(ckpt):
+        stream = streaming.read_page_stream(
+            spark, page_dir, as_webpages(docs).schema,
+            max_files_per_trigger=1)
+        _drain(streaming.write_stream_filtered_bloom(
+            stream, sink, str(base / ckpt), idx,
+            expected_items=1000))
+
+    run("ckpt")
+    out = spark.read.parquet(sink)
+    by_epoch = {(r["doc_id"], r["epoch"]) for r in
+                out.select("doc_id", "epoch").collect()}
+    assert (kept1_ids[0], 0) in by_epoch, "epoch-1 kept doc missing"
+    assert (kept1_ids[0], 1) not in by_epoch, \
+        "re-sent url leaked past the bitmap"
+    fresh = {d for d, e in by_epoch if e == 1}
+    assert fresh and fresh <= set(range(10, 15)), by_epoch
+
+    bins = sorted(f for f in os.listdir(idx) if f.endswith(".bin"))
+    before = {f: open(os.path.join(idx, f), "rb").read() for f in bins}
+    meta_before = open(os.path.join(idx, "meta.json")).read()
+
+    # replay both epochs: fresh checkpoint ⇒ same epoch ids, same
+    # input, bitmap already committed (markers present)
+    run("ckpt_replay")
+    out2 = {(r["doc_id"], r["epoch"]) for r in spark.read.parquet(sink)
+            .select("doc_id", "epoch").collect()}
+    assert out2 == by_epoch, (out2, by_epoch)
+    for f in bins:
+        assert open(os.path.join(idx, f), "rb").read() == before[f]
+    assert open(os.path.join(idx, "meta.json")).read() == meta_before
