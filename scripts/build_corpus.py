@@ -16,6 +16,11 @@ the same input produce byte-identical corpora):
 3. near-dup dedup  — MinHash+LSH candidates → exact connected
                      components; survivor = lowest id (default) or the
                      longest member (--survivor-policy quality).
+3a. semantic dedup — optional (--dedup-semantic <embeddings.parquet>):
+                     SemDeDup-style cosine-near-duplicate clusters over
+                     document embeddings keep only the longest member
+                     (dedup.semantic_dedup_survivors) — catches
+                     paraphrases/re-renders MinHash misses.
 3b. paragraph scrub — optional (--dedup-paragraphs): excise paragraphs
                      appearing in >=2 distinct docs, keep the
                      globally-first instance (RefinedWeb/MassiveText;
@@ -102,6 +107,16 @@ def build_args() -> argparse.Namespace:
                         "needs the robots_noindex column the raw-WARC "
                         "reader computes — the drop is a quality rule, "
                         "funnel-counted under noindex_flagged")
+    p.add_argument("--dedup-semantic", default=None,
+                   help="parquet of document embeddings (vec_id = "
+                        "doc_id, embedding array<float>); docs whose "
+                        "embeddings are cosine-near-duplicates at "
+                        "--semantic-threshold cluster and keep only "
+                        "the longest text per cluster (SemDeDup — "
+                        "catches paraphrases/re-renders that share "
+                        "few shingles); docs without an embedding "
+                        "row pass through")
+    p.add_argument("--semantic-threshold", type=float, default=0.95)
     p.add_argument("--survivor-policy", choices=["first", "quality"],
                    default="first",
                    help="near-dup survivor: 'first' keeps the lowest "
@@ -209,6 +224,14 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     else:
         kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
     funnel["after_near_dedup"] = kept.count()
+
+    if getattr(args, "dedup_semantic", None):
+        emb = spark.read.parquet(args.dedup_semantic)
+        kept = dedup.semantic_dedup_survivors(
+            kept.withColumn("_q", F.length("text")), emb,
+            threshold=getattr(args, "semantic_threshold", 0.95),
+            score_col="_q").drop("_q")
+        funnel["after_semantic_dedup"] = kept.count()
 
     if getattr(args, "dedup_paragraphs", False):
         kept = dedup.remove_cross_doc_paragraphs(kept)

@@ -141,6 +141,16 @@ def build_args() -> argparse.Namespace:
                         "drop the emptied ones (bounds the index's "
                         "partition growth under daily runs; filter "
                         "results are identical pre/post compaction)")
+    p.add_argument("--neardup-expire-before", type=int, default=None,
+                   metavar="EPOCH",
+                   help="retention/TTL for --neardup-index: before "
+                        "compacting, DROP every epoch partition with "
+                        "id < EPOCH (metadata + files, no rewrite) so "
+                        "content committed before the cutoff stops "
+                        "suppressing new near-duplicates — the "
+                        "compliance-deletion / freshness half of the "
+                        "index lifecycle; runs before the merge "
+                        "because compaction collapses commit ages")
     p.add_argument("--lang-profiles", default=None, metavar="LANGS",
                    help="comma-separated language profiles (e.g. "
                         "'en,fr,es,de'): the stopword_frac rule scores "
@@ -380,10 +390,15 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         result["neardup_mode"] = "append" if nd_exists else "create"
         result["neardup_epoch"] = epoch_id
         keep = getattr(args, "neardup_compact", None)
-        if keep is not None:
+        expire = getattr(args, "neardup_expire_before", None)
+        if keep is not None or expire is not None:
             from luzzu_spark.dedup import compact_minhash_index
+            # expiry without --neardup-compact: keep every remaining
+            # epoch uncompacted (2**31 exceeds any epoch count)
             result["neardup_compaction"] = compact_minhash_index(
-                spark, nd_sigs, nd_bands, keep_epochs=keep)
+                spark, nd_sigs, nd_bands,
+                keep_epochs=keep if keep is not None else 2**31,
+                expire_before=expire)
     bloom_path = getattr(args, "seen_bloom_path", None)
     if bloom_path:
         if args.repeat != 1:

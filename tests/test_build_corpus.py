@@ -21,6 +21,7 @@ def _mkargs(**kw):
                 inject_pii=False, bench_input=None,
                 neardup_threshold=0.5, survivor_policy="first",
                 dedup_spans=False,
+                dedup_semantic=None, semantic_threshold=0.95,
                 sample_rate=1.0,
                 pack_budget=256, format="parquet", json=False)
     base.update(kw)
@@ -134,6 +135,43 @@ def test_quality_survivor_policy_keeps_longest(spark, tmp_path):
            for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 2002 in ids, "longest cluster member must survive"
     assert 2 not in ids, "shorter original must be the loser"
+
+
+def test_semantic_dedup_stage(spark, tmp_path):
+    """--dedup-semantic: two lexically-distinct docs (MinHash never
+    pairs them) carrying IDENTICAL embeddings form a semantic cluster;
+    only the longest text survives; docs without an embedding row pass
+    through untouched; the funnel counts the stage."""
+    docs = load_table(spark, SF, "documents").where("doc_id < 40")
+    inp = str(tmp_path / "docs")
+    docs.repartition(4).write.mode("overwrite").parquet(inp)
+
+    # baseline run (no semantic stage) tells us which docs reach the
+    # semantic stage and with what scrubbed text lengths
+    out0 = str(tmp_path / "c0")
+    f0 = bc.build(spark, _mkargs(input=inp, output=out0))
+    base = {r["doc_id"]: len(r["text"])
+            for r in spark.read.parquet(out0)
+            .select("doc_id", "text").collect()}
+    a, b = sorted(base)[:2]
+    keep_id, drop_id = ((a, b) if (base[a], -a) >= (base[b], -b)
+                        else (b, a))
+
+    vec = [1.0] + [0.0] * 7
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame([(a, vec), (b, vec)],
+                          "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(emb_path)
+
+    out1 = str(tmp_path / "c1")
+    f1 = bc.build(spark, _mkargs(input=inp, output=out1,
+                                 dedup_semantic=emb_path,
+                                 semantic_threshold=0.95))
+    ids = {r["doc_id"] for r in spark.read.parquet(out1)
+           .select("doc_id").collect()}
+    assert keep_id in ids and drop_id not in ids
+    assert ids == set(base) - {drop_id}, "non-cluster docs must pass"
+    assert f1["after_semantic_dedup"] == f0["after_near_dedup"] - 1
 
 
 def test_span_removal_stage(spark, tmp_path):
