@@ -265,6 +265,12 @@ def main() -> None:
         ("builder_pack_seq_ids",
          lambda: bc.assign_seq_ids(kept, 256),
          "token-budget packing window"),
+        ("builder_semantic_dedup",
+         lambda: _dd.semantic_dedup_survivors(
+             kept.withColumn("_q", F.length("text")),
+             load_table(spark, SF_DIR, "embeddings"),
+             threshold=0.4, score_col="_q").drop("_q"),
+         "SemDeDup cosine clusters over embeddings (r05)"),
     ]
     for name, build, note in builder_stages:
         audit(name, build, input_bytes=docs_disk,
@@ -288,7 +294,8 @@ def main() -> None:
                 "crossrun_bloom_anti_join(exact)",
                 "builder_exact_dedup",
                 "builder_near_dup_survivors", "builder_paragraph_scrub",
-                "builder_span_excision_char", "builder_pack_seq_ids"}
+                "builder_span_excision_char", "builder_pack_seq_ids",
+                "builder_semantic_dedup"}
     lines = [
         "# SHUFFLE.md — measured shuffle volume per headline query",
         "",
