@@ -390,8 +390,11 @@ def main() -> None:
     # across the r02-r04 driver artifacts, ~10 in the degraded
     # session. Both legs always run the same shapes at the same SF,
     # so the ratio is comparable round over round.
+    # floor at 50 ms: below that, q1's wall is dominated by per-query
+    # fixed overhead and the ratio is noise (a 1 ms q1 would flag a
+    # healthy host); such artifacts just omit the signal
     q1 = timings.get("q1_pricing_summary")
-    if q1:
+    if q1 is not None and q1 >= 0.05:
         ratio = round(timings["pipeline_full_filter"] / q1, 2)
         control["arrow_vs_jvm_ratio"] = ratio
         control["arrow_suspect"] = ratio > 8.0

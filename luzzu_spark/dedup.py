@@ -751,7 +751,8 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
                        fpp: float = 0.01,
                        expected_items: int | None = None,
                        shards: int = 1,
-                       count_items: bool = True) -> dict:
+                       count_items: bool = True,
+                       epoch_id: int | None = None) -> dict:
     """Persist (or update) a Bloom index of the seen keys at ``path``
     — the mode where the BITMAP ITSELF is the cross-run state (the
     Dolma deduper's published design): later runs filter against the
@@ -780,7 +781,13 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
     construction (OR of the same keys is a no-op). A caller that KNOWS
     it is re-committing already-counted keys (a replayed streaming
     epoch) passes ``count_items=False`` so the fill counter doesn't
-    double-count (and the count job is skipped)."""
+    double-count (and the count job is skipped). Callers WITH a stable
+    monotone epoch (the streaming sink) pass ``epoch_id`` instead:
+    meta records the last counted epoch, so a replayed commit — even
+    one whose first attempt crashed between writing the bitmaps and
+    the meta — counts each epoch's keys exactly once (review r05: the
+    marker-based count_items=fresh heuristic under-counted on a crash
+    between the marker write and the commit, forever)."""
     import json as _json
     import os as _os
     meta_p = _os.path.join(path, "meta.json")
@@ -804,6 +811,9 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
                 "design_items": max(int(n), 1), "committed_items": 0,
                 "shards": shards}
         created = True
+    if epoch_id is not None and int(epoch_id) <= int(
+            meta.get("last_epoch", -1)):
+        count_items = False    # replay of an already-counted epoch
     if not count_items:
         n_new = 0
     elif n_new is None:
@@ -840,8 +850,15 @@ def bloom_index_commit(df: DataFrame, key: str, path: str,
                 if s not in touched:
                     write_shard(s, None)
     meta["committed_items"] = int(meta["committed_items"]) + int(n_new)
-    with open(meta_p, "w") as f:
+    if epoch_id is not None:
+        meta["last_epoch"] = max(int(meta.get("last_epoch", -1)),
+                                 int(epoch_id))
+    # meta is the counter of record — write-then-replace so a crash
+    # mid-write can't leave corrupt JSON behind the intact bitmaps
+    tmp_meta = meta_p + ".tmp"
+    with open(tmp_meta, "w") as f:
         _json.dump(meta, f)
+    _os.replace(tmp_meta, meta_p)
     return dict(meta)
 
 
@@ -1051,6 +1068,12 @@ def commit_minhash_index(docs: DataFrame, sigs_table: str,
         (sig_df.write.mode("append").partitionBy("epoch")
          .bucketBy(n_buckets, id_col).sortBy(id_col)
          .saveAsTable(sigs_table))
+    if epoch_id is not None:
+        # record the monotone high-water mark so epoch ids survive a
+        # retention run that drops every live partition (next_epoch_id)
+        spark = docs.sparkSession
+        for t in (sigs_table, bands_table):
+            _record_epoch_floor(spark, t, int(epoch_id))
 
 
 def incremental_minhash_pairs(spark, new_docs: DataFrame,
@@ -1136,6 +1159,31 @@ def _table_epochs(spark, table: str) -> list[int]:
     """Numeric epoch partition ids of an index table, ascending."""
     return sorted(int(r["partition"].split("=", 1)[1])
                   for r in spark.sql(f"SHOW PARTITIONS {table}").collect())
+
+
+_EPOCH_FLOOR_PROP = "luzzu.max_epoch"
+
+
+def next_epoch_id(spark, table: str) -> int:
+    """Next commit epoch id for an index table: one past the max of
+    the LIVE partitions and the high-water mark recorded in table
+    properties. Partitions alone are not enough — retention
+    (``--neardup-expire-before``) can legitimately drop EVERY epoch,
+    and ``max(partitions)+1`` would then restart at 0, so a retention
+    job reusing its previous monotone cutoff would silently expire a
+    brand-new commit (review r05). The property survives partition
+    drops, keeping ids monotone for the table's lifetime."""
+    props = {r["key"]: r["value"]
+             for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    floor = int(props.get(_EPOCH_FLOOR_PROP, -1))
+    return max(max(_table_epochs(spark, table), default=-1), floor) + 1
+
+
+def _record_epoch_floor(spark, table: str, epoch_id: int) -> None:
+    """Persist the high-water epoch id as a table property (metadata
+    only; see next_epoch_id)."""
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES "
+              f"('{_EPOCH_FLOOR_PROP}'='{int(epoch_id)}')")
 
 
 def _table_location(spark, table: str) -> str:
@@ -1356,6 +1404,15 @@ def near_dup_survivors(docs: DataFrame, threshold: float = 0.5,
     the final anti-join broadcasts when the loser set is small, else
     shuffles on id."""
     pairs = minhash_dedup_pairs(docs, threshold, id_col, bands=bands)
+    return _drop_cluster_losers(docs, pairs, id_col)
+
+
+def _drop_cluster_losers(docs: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """First-wins survivor policy shared by the lexical and semantic
+    near-dup paths: cluster the confirmed pairs, then drop every
+    member that is not its component's lowest id (the cluster head).
+    One definition so a policy fix cannot drift between the twins."""
     members = near_dup_clusters(pairs, id_col=id_col)
     losers = (members.where(F.col(id_col) != F.col("cluster"))
               .select(id_col))
@@ -1453,10 +1510,7 @@ def semantic_dedup_survivors(docs: DataFrame, embeddings: DataFrame,
     if score_col is not None:
         return cluster_survivors_by_quality(docs, pairs, score_col,
                                             id_col=id_col)
-    members = near_dup_clusters(pairs, id_col=id_col)
-    losers = (members.where(F.col(id_col) != F.col("cluster"))
-              .select(id_col))
-    return docs.join(losers, id_col, "left_anti")
+    return _drop_cluster_losers(docs, pairs, id_col)
 
 
 def remove_cross_doc_paragraphs(docs: DataFrame,

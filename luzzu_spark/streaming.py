@@ -20,7 +20,7 @@ file source over the events/documents fixtures with an in-memory sink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from luzzu_spark.pipeline import QualityPipeline
@@ -343,39 +343,96 @@ def write_stream_filtered_bloom(pages: DataFrame, out_path: str,
       and NEVER re-filters — the bitmap may already contain this
       epoch's keys, and a re-filter would self-match the whole batch
       away (the trap the near-dup index escapes with exclude_epoch;
-      a bitmap has no epochs to exclude, hence the marker)."""
+      a bitmap has no epochs to exclude, hence the marker).
+    - The marker carries the batch's content fingerprint (row count +
+      order-independent key digest): replaying an epoch id over
+      DIFFERENT input — a fresh checkpoint against a changed page
+      directory, the one way epoch ids collide across lineages —
+      RAISES instead of silently skipping the new data's filter,
+      assessment and write (review r05).
+    - Keys duplicated WITHIN one micro-batch collapse to one
+      deterministic first-wins row before the bitmap filter (the
+      bitmap only knows PRIOR epochs, so a same-batch recrawl would
+      otherwise write both copies permanently)."""
     import dataclasses
+    import json as _json
     import os
+
+    from pyspark.errors import AnalysisException
 
     from luzzu_spark.dedup import bloom_index_commit, bloom_index_filter
     pipe = (dataclasses.replace(pipeline, auto_spread=False)
             if pipeline is not None
             else QualityPipeline(auto_spread=False))
 
+    def fingerprint(df: DataFrame) -> dict:
+        # order-independent and replay-stable: same rows -> same
+        # digest regardless of partitioning; fold per row before the
+        # sum (CLAUDE.md rule 8: sums of raw int64 hashes overflow)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64(F.col(key)),
+                         F.lit(2**31 - 1))).alias("d")).collect()[0]
+        return {"n": int(row["n"]), "key_digest": int(row["d"] or 0)}
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(bloom_path,
                               f"epoch_{int(epoch_id)}.written")
         fresh = not os.path.exists(marker)
+        fp = fingerprint(batch_df)
         if fresh:
+            # deterministic first-wins within the batch: one row per
+            # key, ties broken by the row hash so replays pick the
+            # same copy (maps are not hashable — skip them; the
+            # remaining columns pin real page rows uniquely)
+            hashable = [f.name for f in batch_df.schema.fields
+                        if "map<" not in f.dataType.simpleString()]
+            w = Window.partitionBy(key).orderBy(
+                F.asc(F.xxhash64(*[F.col(c) for c in hashable])))
+            batch_df = (batch_df
+                        .withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1).drop("_rn"))
             if os.path.exists(os.path.join(bloom_path, "meta.json")):
                 batch_df = bloom_index_filter(batch_df, bloom_path, key)
             kept = pipe.filtered(batch_df)
             write_epoch_idempotent(kept, out_path, epoch_id)
             os.makedirs(bloom_path, exist_ok=True)
-            with open(marker, "w"):
-                pass
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(fp, f)
+            os.replace(tmp, marker)
+        else:
+            with open(marker) as f:
+                raw = f.read()
+            recorded = _json.loads(raw) if raw.strip() else None
+            if recorded is not None and recorded != fp:
+                raise RuntimeError(
+                    f"epoch {int(epoch_id)} marker at {marker} records "
+                    f"{recorded} but this batch fingerprints as {fp}: "
+                    "the epoch id was reused over DIFFERENT input "
+                    "(fresh checkpoint against a changed source?). "
+                    "Refusing to skip the batch — point the stream at "
+                    "a new out/bloom path pair or restore the original "
+                    "checkpoint.")
         try:
             kept_keys = (spark.read.parquet(out_path)
                          .where(F.col("epoch") == int(epoch_id))
                          .select(key))
-        except Exception:
-            return    # epoch kept nothing and no corpus exists yet
-        # a replayed epoch's keys were already counted the first time —
-        # re-OR them (idempotent) without inflating the fill counter
+        except AnalysisException:
+            # the one legitimate miss: nothing kept yet ANYWHERE, so
+            # the corpus path does not exist. Any other failure must
+            # surface — swallowing it would permanently omit a kept
+            # epoch's keys from the bitmap (review r05)
+            if not os.path.exists(out_path):
+                return
+            raise
+        # meta's last_epoch makes the fill counter exact under replay:
+        # each epoch's keys count once even if a prior attempt crashed
+        # between the marker write and this commit
         bloom_index_commit(kept_keys, key, bloom_path,
                            expected_items=expected_items,
-                           shards=shards, count_items=fresh)
+                           shards=shards, epoch_id=int(epoch_id))
 
     return (pages.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

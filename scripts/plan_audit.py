@@ -66,6 +66,14 @@ _DRIVER_MAT_ALLOWED = {
         "sharded Bloom commit: ≤shards rows of one shard bitmap "
         "(m/8 bytes) each, consumed ONE at a time — driver peak is a "
         "single shard regardless of index size",
+    ("luzzu_spark/dedup.py",
+     'spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}'):
+        "catalog metadata — a handful of property rows per index "
+        "table, never data rows",
+    ("luzzu_spark/streaming.py",
+     'F.lit(2**31 - 1))).alias("d")).collect()[0]'):
+        "exactly one aggregate row (count + folded key digest) per "
+        "micro-batch — the epoch-marker fingerprint",
 }
 
 

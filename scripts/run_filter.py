@@ -370,18 +370,19 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
     if nd_prefix:
         if args.repeat != 1:
             raise ValueError("--neardup-index requires --repeat 1")
-        from luzzu_spark.dedup import _table_epochs, commit_minhash_index
+        from luzzu_spark.dedup import commit_minhash_index, next_epoch_id
         nd_path = getattr(args, "neardup_path", None) or os.path.join(
             args.output, "neardup_index")
         kept = spark.read.parquet(ResumableRun.output_glob(args.output))
         # every CLI run commits under its OWN epoch id (next integer
-        # after the committed ones) — without this, every daily append
-        # lands in the shared epoch=-1 partition and --neardup-compact
-        # has nothing to merge (review r05); a rerun of a failed
-        # commit picks the same next id, keeping the append
-        # at-least-once like before
-        epoch_id = (max(_table_epochs(spark, nd_sigs), default=-1) + 1
-                    if nd_exists else 0)
+        # after the committed ones AND the recorded high-water mark —
+        # partitions alone restart at 0 after an expire-all, which
+        # would let a monotone retention cutoff expire fresh commits)
+        # — without per-run ids, every daily append lands in the
+        # shared epoch=-1 partition and --neardup-compact has nothing
+        # to merge (review r05); a rerun of a failed commit picks the
+        # same next id, keeping the append at-least-once like before
+        epoch_id = next_epoch_id(spark, nd_sigs) if nd_exists else 0
         commit_minhash_index(kept, nd_sigs, nd_bands, nd_path,
                              n_buckets=args.n_buckets,
                              mode="append" if nd_exists else "overwrite",
@@ -393,6 +394,14 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         expire = getattr(args, "neardup_expire_before", None)
         if keep is not None or expire is not None:
             from luzzu_spark.dedup import compact_minhash_index
+            if expire is not None and expire > epoch_id:
+                # a cutoff past this run's own commit would drop the
+                # signatures we JUST wrote in the same invocation —
+                # always an operator mistake, never a retention policy
+                raise ValueError(
+                    f"--neardup-expire-before {expire} would expire "
+                    f"this run's own commit (epoch {epoch_id}); use a "
+                    f"cutoff <= {epoch_id}")
             # expiry without --neardup-compact: keep every remaining
             # epoch uncompacted (2**31 exceeds any epoch count)
             result["neardup_compaction"] = compact_minhash_index(

@@ -1179,6 +1179,70 @@ def test_bloom_index_persisted_roundtrip(spark, tmp_path):
     assert out3.count() == 0
 
 
+def test_bloom_commit_epoch_counter_exact(spark, tmp_path):
+    """``epoch_id`` makes the fill counter exact under replay: each
+    epoch's keys count ONCE even when a crashed first attempt never
+    reached the meta write (review r05 — the marker-based
+    count_items=fresh heuristic under-counted that case forever)."""
+    idx = str(tmp_path / "epoch_idx")
+    e0 = spark.createDataFrame([(f"u{i}",) for i in range(100)],
+                               "url string")
+    e1 = spark.createDataFrame([(f"v{i}",) for i in range(50)],
+                               "url string")
+    meta = dedup.bloom_index_commit(e0, "url", idx,
+                                    expected_items=1000, epoch_id=0)
+    assert (meta["committed_items"], meta["last_epoch"]) == (100, 0)
+    # replay of epoch 0 (e.g. crash AFTER the commit): not recounted
+    meta = dedup.bloom_index_commit(e0, "url", idx, epoch_id=0)
+    assert (meta["committed_items"], meta["last_epoch"]) == (100, 0)
+    # epoch 1 whose first attempt crashed between the epoch marker and
+    # the commit: the replayed commit is the FIRST for this epoch and
+    # counts exactly once
+    meta = dedup.bloom_index_commit(e1, "url", idx, epoch_id=1)
+    assert (meta["committed_items"], meta["last_epoch"]) == (150, 1)
+    meta = dedup.bloom_index_commit(e1, "url", idx, epoch_id=1)
+    assert (meta["committed_items"], meta["last_epoch"]) == (150, 1)
+
+
+def test_epoch_ids_monotone_after_expire_all(spark, tmp_path):
+    """Retention may legitimately drop EVERY live epoch partition;
+    next_epoch_id must keep counting past the recorded high-water
+    mark — ``max(partitions)+1`` would restart at 0 and a monotone
+    retention cutoff would then expire brand-new commits recommitted
+    under recycled ids (review r05)."""
+    def block(tag, n=400):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    sigs_t, bands_t = "mono_sigs_t", "mono_bands_t"
+    try:
+        for e in range(3):
+            d = spark.createDataFrame([(10 * e + 1, block(f"m{e}_"))],
+                                      "doc_id long, text string")
+            dedup.commit_minhash_index(
+                d, sigs_t, bands_t, str(tmp_path / "monoidx"),
+                n_buckets=4, mode="overwrite" if e == 0 else "append",
+                epoch_id=e)
+        assert dedup.next_epoch_id(spark, sigs_t) == 3
+        dedup.compact_minhash_index(spark, sigs_t, bands_t,
+                                    keep_epochs=2**31, expire_before=3)
+        assert spark.sql(f"SHOW PARTITIONS {sigs_t}").count() == 0
+        # the floor survives the expire-all: ids stay monotone
+        assert dedup.next_epoch_id(spark, sigs_t) == 3
+        d = spark.createDataFrame([(91, block("fresh_"))],
+                                  "doc_id long, text string")
+        dedup.commit_minhash_index(
+            d, sigs_t, bands_t, str(tmp_path / "monoidx"),
+            n_buckets=4, mode="append",
+            epoch_id=dedup.next_epoch_id(spark, sigs_t))
+        parts = {r["partition"] for r in
+                 spark.sql(f"SHOW PARTITIONS {sigs_t}").collect()}
+        assert parts == {"epoch=3"}
+        assert dedup.next_epoch_id(spark, sigs_t) == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sigs_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+
+
 def test_bloom_index_design_point_warning(spark, tmp_path):
     """Filling the index past its design capacity must WARN (fpp has
     degraded past the configured target)."""

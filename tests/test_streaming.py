@@ -445,3 +445,64 @@ def test_stream_filtered_bloom_cross_epoch_and_replay(spark, tmp_path):
     for f in bins:
         assert open(os.path.join(idx, f), "rb").read() == before[f]
     assert open(os.path.join(idx, "meta.json")).read() == meta_before
+
+
+def test_stream_bloom_in_batch_duplicates_collapse(spark, tmp_path):
+    """A recrawl can deliver the same url twice in the files of ONE
+    micro-batch — the bitmap only knows PRIOR epochs, so without
+    in-batch dedup both copies would be written permanently by a
+    dedup sink (review r05). Exactly one row per key must survive."""
+    from luzzu_spark.fixtures import as_webpages, load_table
+
+    base = tmp_path / "bloom_inbatch"
+    page_dir = str(base / "pages")
+    docs = load_table(spark, SF, "documents").where("doc_id < 8")
+    pages = as_webpages(docs)
+    kept_ids = sorted(
+        r["doc_id"] for r in QualityPipeline(auto_spread=False)
+        .filtered(pages).select("doc_id").collect())
+    assert kept_ids, "need kept docs"
+    # one file = one micro-batch holding every doc TWICE
+    pages.unionByName(pages).coalesce(1).write.parquet(page_dir)
+
+    stream = streaming.read_page_stream(spark, page_dir, pages.schema)
+    _drain(streaming.write_stream_filtered_bloom(
+        stream, str(base / "corpus"), str(base / "ckpt"),
+        str(base / "idx"), expected_items=1000))
+    out = (spark.read.parquet(str(base / "corpus"))
+           .groupBy("doc_id").count().collect())
+    assert {r["doc_id"] for r in out} == set(kept_ids)
+    assert all(r["count"] == 1 for r in out), out
+
+
+def test_stream_bloom_epoch_reuse_different_input_raises(spark,
+                                                         tmp_path):
+    """Epoch ids are only unique within ONE checkpoint lineage: a
+    fresh checkpoint over a CHANGED page directory replays epoch 0
+    with different documents. The marker alone would skip their
+    filter, assessment and write — silent data loss — so the marker
+    records the batch fingerprint and a mismatch must RAISE
+    (review r05)."""
+    from luzzu_spark.fixtures import as_webpages, load_table
+
+    base = tmp_path / "bloom_reuse"
+    page_dir = str(base / "pages")
+    docs = load_table(spark, SF, "documents")
+    pages1 = as_webpages(docs.where("doc_id < 6"))
+    pages1.coalesce(1).write.parquet(page_dir)
+
+    def run(ckpt):
+        stream = streaming.read_page_stream(spark, page_dir,
+                                            pages1.schema)
+        _drain(streaming.write_stream_filtered_bloom(
+            stream, str(base / "corpus"), str(base / ckpt),
+            str(base / "idx"), expected_items=1000))
+
+    run("ckpt")
+    # new lineage, different content under the SAME epoch id
+    import shutil
+    shutil.rmtree(page_dir)
+    as_webpages(docs.where("doc_id >= 6 AND doc_id < 12")) \
+        .coalesce(1).write.parquet(page_dir)
+    with pytest.raises(Exception, match="reused over DIFFERENT input"):
+        run("ckpt2")
