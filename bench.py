@@ -360,10 +360,12 @@ def main() -> None:
                 "dsir_weighted_sample"]
     extended_r04 = ["text_html_extract", "dedup_cross_doc_paragraphs",
                     "split_leakage_audit"]
+    extended_r05 = ["dedup_bloom_paragraph_scrub"]
     # build INSIDE the timed region: iterative queries (connected
     # components) execute their rounds during construction, so a
     # build-once/noop-twice split would undercount them
-    ext_trials = {n: [] for n in extended + extended_r04 if n in catalog}
+    ext_trials = {n: [] for n in extended + extended_r04 + extended_r05
+                  if n in catalog}
     for _ in range(2):
         for name in ext_trials:
             t0 = time.time()
@@ -374,6 +376,9 @@ def main() -> None:
     timings_extended_r04 = {n: round(min(ts), 3)
                             for n, ts in ext_trials.items()
                             if n in extended_r04}
+    timings_extended_r05 = {n: round(min(ts), 3)
+                            for n, ts in ext_trials.items()
+                            if n in extended_r05}
 
     # r05: crawl-native ingest paths (WET parse / raw-WARC HTML
     # extraction) feeding the full assessment — the round's flagship
@@ -411,7 +416,8 @@ def main() -> None:
         "queries": timings,
         "queries_extended_r03": timings_extended,
         "queries_extended_r04": timings_extended_r04,
-        "queries_extended_r05": ingest["timings"],
+        "queries_extended_r05": {**ingest["timings"],
+                                 **timings_extended_r05},
         "ingest_docs": ingest["ingest_docs"],
         "wet_docs_per_sec": ingest["wet_docs_per_sec"],
         "warc_docs_per_sec": ingest["warc_docs_per_sec"],

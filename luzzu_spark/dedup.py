@@ -981,6 +981,151 @@ def seen_bloom_anti_join(batch: DataFrame, seen: DataFrame,
     return novel.unionByName(cand)
 
 
+def _para_instances(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(_id, _pos, _para, _ph): positioned paragraph instances of each
+    doc, keyed by the md5 digest — the shared explode for the
+    paragraph-granular dedup family (split on the literal ``\\n\\n``,
+    the same lossless separator as remove_cross_doc_paragraphs)."""
+    return (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n\n"))
+         .alias("_pos", "_para"))
+        .withColumn("_ph", F.md5("_para")))
+
+
+def _rebuild_from_marked(docs: DataFrame, marked: DataFrame,
+                         id_col: str, text_col: str) -> DataFrame:
+    """Rebuild ``text_col`` from the instances of ``marked`` where
+    ``_rm`` is false — every doc keeps its group row (nulls skip
+    collect_list), so a fully-excised doc rebuilds to '' rather than
+    silently reverting to its original text; NULL-text docs have no
+    instances and pass through via the coalesce."""
+    kept_struct = F.when(~F.col("_rm"), F.struct("_pos", "_para"))
+    rebuilt = (marked.groupBy("_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(kept_struct)),
+                       lambda x: x["_para"]),
+                   "\n\n").alias("_rebuilt")))
+    return (docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+            .withColumn(text_col,
+                        F.coalesce("_rebuilt", F.col(text_col)))
+            .drop("_id", "_rebuilt"))
+
+
+def seen_bloom_paragraph_scrub(batch: DataFrame, seen: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               fpp: float = 0.01,
+                               expected_items: int | None = None
+                               ) -> DataFrame:
+    """Cross-run PARAGRAPH suppression, exact result (the granularity
+    Dolma's deduper actually publishes: paragraphs, not whole
+    documents): every non-empty paragraph of ``batch`` whose digest
+    appears among ``seen``'s paragraphs is excised and the text
+    rebuilt — a day-2 page quoting one day-1 boilerplate block loses
+    that block but KEEPS its novel prose, where doc-level dedup would
+    either keep the duplicate text or drop the whole page. The Bloom
+    bitmap only changes the plan (novel paragraphs bypass the join
+    map-only; might-contain candidates settle in an exact anti-join
+    that absorbs every false positive), so the result is byte-equal to
+    the plain NOT-IN scrub and the catalog twin holds a full oracle.
+
+    Semantics shared with remove_cross_doc_paragraphs: empty
+    paragraphs (blank-line runs) are whitespace, never "shared
+    content" — they are never excised; a doc whose every paragraph was
+    seen rebuilds to '' (the quality filter then drops it); NULL-text
+    docs pass through untouched.
+
+    Scale shape: the committed side streams once into digest rows
+    (one distinct shuffle of fixed-width md5 keys, text never leaves
+    its scan); the batch explodes once, the bitmap marks map-side, and
+    only candidate instances (true dups + ~fpp) join the digest set;
+    the rebuild is one groupBy id. Pass ``expected_items`` (committed
+    distinct-paragraph estimate) at scale to skip the sizing count."""
+    spark = batch.sparkSession
+    seen_ph = (_para_instances(seen, id_col, text_col)
+               .where(F.length("_para") > 0)
+               .select("_ph").distinct())
+    n = expected_items if expected_items is not None else seen_ph.count()
+    m_bits, k = bloom_params(max(int(n), 1), fpp)
+    bloom = bloom_build(seen_ph, "_ph", m_bits, k)
+    inst = _para_instances(batch, id_col, text_col)
+    maybe = (_bloom_membership_col(spark, bloom, k, m_bits,
+                                   F.col("_ph"))
+             & (F.length("_para") > 0))
+    flagged = inst.withColumn("_maybe", maybe)
+    novel = (flagged.where(~F.col("_maybe"))
+             .withColumn("_rm", F.lit(False)))
+    cand = (flagged.where(F.col("_maybe"))
+            .join(seen_ph.withColumn("_t", F.lit(True)), "_ph", "left")
+            .withColumn("_rm", F.coalesce("_t", F.lit(False)))
+            .drop("_t"))
+    marked = novel.unionByName(cand).drop("_maybe")
+    return _rebuild_from_marked(batch, marked, id_col, text_col)
+
+
+def bloom_paragraph_commit(docs: DataFrame, path: str,
+                           text_col: str = "text",
+                           fpp: float = 0.01,
+                           expected_items: int | None = None,
+                           shards: int = 1,
+                           epoch_id: int | None = None) -> dict:
+    """OR every distinct non-empty paragraph digest of ``docs`` into
+    the persisted Bloom index at ``path`` — the cross-run state for
+    bloom_paragraph_filter (the paragraph-granular twin of
+    bloom_index_commit; same bitmap format, sizing, sharding, replay
+    and last_epoch semantics). Size ``expected_items`` for the
+    LIFETIME count of distinct paragraphs, which is several × the doc
+    count on web text."""
+    paras = (docs.select(F.explode(
+                 F.split(F.col(text_col), "\n\n")).alias("_para"))
+             .where(F.length("_para") > 0)
+             .select(F.md5("_para").alias("pkey")).distinct())
+    return bloom_index_commit(paras, "pkey", path, fpp=fpp,
+                              expected_items=expected_items,
+                              shards=shards, epoch_id=epoch_id)
+
+
+def bloom_paragraph_filter(docs: DataFrame, path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Excise every paragraph the persisted Bloom index might contain
+    and rebuild ``text_col`` — the APPROXIMATE cross-run paragraph
+    scrub (zero committed-side I/O; Dolma's continuous paragraph
+    dedup). Contract mirrors bloom_index_filter: a committed paragraph
+    is ALWAYS excised (no false negatives); ~fpp of genuinely-novel
+    paragraphs excise too — an over-scrub, never leaked duplicate
+    text. Empty paragraphs are never excised (whitespace, not
+    content); fully-excised docs rebuild to ''; NULL-text docs pass
+    through. Sharded indexes work unchanged (the instance rows carry
+    fixed-width digests through the one shard shuffle)."""
+    inst = _para_instances(docs, id_col, text_col)
+    # bloom_index_filter DROPS might-contain rows, so a fully-excised
+    # doc keeps NO instance and loses its rebuild group row — the
+    # nullability guard below turns that absence into '' (only
+    # NULL-text docs have no instances for any other reason)
+    kept = (bloom_index_filter(inst.where(F.length("_para") > 0),
+                               path, "_ph")
+            .unionByName(inst.where(F.length("_para") == 0)))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "_para"))),
+                       lambda x: x["_para"]),
+                   "\n\n").alias("_rebuilt")))
+    return (docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+            .withColumn(
+                text_col,
+                # no kept instance + non-NULL text = fully excised
+                F.when(F.col(text_col).isNull(),
+                       F.lit(None).cast("string"))
+                 .otherwise(F.coalesce("_rebuilt", F.lit(""))))
+            .drop("_id", "_rebuilt"))
+
+
 def commit_minhash_index(docs: DataFrame, sigs_table: str,
                          bands_table: str, path_prefix: str,
                          id_col: str = "doc_id",
@@ -1536,11 +1681,7 @@ def remove_cross_doc_paragraphs(docs: DataFrame,
     cross-doc test with no self-join); the rebuild is the second
     shuffle (groupBy id, array_sort). Paragraph text rides each
     exchange once as payload, never as a key."""
-    inst = (docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n\n"))
-         .alias("_pos", "_para"))
-        .withColumn("_ph", F.md5("_para")))
+    inst = _para_instances(docs, id_col, text_col)
     w = Window.partitionBy("_ph")
     wo = w.orderBy("_id", "_pos")
     marked = inst.select(
@@ -1552,18 +1693,7 @@ def remove_cross_doc_paragraphs(docs: DataFrame,
         ((F.length("_para") > 0)
          & (F.min("_id").over(w) != F.max("_id").over(w))
          & (F.row_number().over(wo) > 1)).alias("_rm"))
-    kept_struct = F.when(~F.col("_rm"), F.struct("_pos", "_para"))
-    rebuilt = (marked.groupBy("_id")
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(kept_struct)),
-                       lambda x: x["_para"]),
-                   "\n\n").alias("_rebuilt")))
-    return (docs.join(rebuilt,
-                      docs[id_col] == rebuilt["_id"], "left")
-            .withColumn(text_col,
-                        F.coalesce("_rebuilt", F.col(text_col)))
-            .drop("_id", "_rebuilt"))
+    return _rebuild_from_marked(docs, marked, id_col, text_col)
 
 
 def remove_dup_spans(docs: DataFrame, n: int = 20,

@@ -60,8 +60,9 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-5 window:
 # (a) new this round, never driver-checked: per-language stopword
-#     profiles, BPE-budget packing, char-offset span excision, and the
-#     Bloom-pruned cross-run seen-set;
+#     profiles, BPE-budget packing, char-offset span excision, the
+#     Bloom-pruned cross-run seen-set, and the Bloom-pruned cross-run
+#     PARAGRAPH scrub (late r05);
 # (b) changed since their r04 green row: commit 8773dd6 (post-r04
 #     driver run) retuned the default _shingle_segments tokenizer to
 #     Java's \s set (ADVICE r04 high), which feeds every replayable
@@ -99,6 +100,7 @@ _WINDOW: tuple[str, ...] = (
     "pack_bpe_sequences",
     "dedup_dup_span_excision",
     "dedup_bloom_seen_filter",
+    "dedup_bloom_paragraph_scrub",
     # (b) changed since their r04 green row (freshness rule)
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_near",
     "dedup_jaccard_verified", "dedup_ngram_jaccard_exact",
@@ -121,17 +123,18 @@ _WINDOW: tuple[str, ...] = (
     "join_range_events_orders", "window_rank_customers",
     "window_running_avg", "window_lag_deltas", "sort_topk_parts",
     "set_except_sources", "set_intersect_sources",
-    "dedup_first_doc_per_source", "events_json_sum",
+    "dedup_first_doc_per_source",
     "events_tumbling_10min", "text_fingerprint",
     "scrub_pii_identity", "embed_cosine_topk",
     # multimodal_binary_stats rotated out for dedup_bloom_seen_filter;
     # events_date_stats + embed_norm_stats for the two \x0b-class
-    # oracle re-verifies above — all three r01+r02 twice-green and
+    # oracle re-verifies above; events_json_sum for the late-r05
+    # dedup_bloom_paragraph_scrub — all four r01+r02 twice-green and
     # unchanged since their rows (the displacement rule)
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that
-# do not fit the 50-slot window. EMPTY in round 5: the four new
+# do not fit the 50-slot window. EMPTY in round 5: the five new
 # queries and the full changed-set all fit.
 _WINDOW_OVERFLOW: tuple[str, ...] = ()
 

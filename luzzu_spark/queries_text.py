@@ -1189,3 +1189,77 @@ def dedup_bloom_seen_filter(spark: SparkSession,
     return (seen_bloom_anti_join(batch, seen, key="content_key",
                                  fpp=0.01)
             .select("doc_id", "content_key").orderBy("doc_id"))
+
+
+@register("dedup_bloom_paragraph_scrub", oracle=f"""
+WITH seen_sp AS (
+  SELECT unnest(string_split({_duppara_page_sql()},
+                             chr(10) || chr(10))) AS p
+  FROM documents WHERE doc_id % 2 = 0),
+seen_ph AS (
+  SELECT DISTINCT md5(p) AS ph FROM seen_sp WHERE len(p) > 0),
+bp AS (
+  SELECT doc_id,
+         {_duppara_page_sql()}
+           || chr(10) || chr(10) || 'Subscribe to our list.' AS page
+  FROM documents WHERE doc_id % 3 = 0),
+sp AS (
+  SELECT doc_id, string_split(page, chr(10) || chr(10)) AS ls FROM bp),
+idx AS (
+  SELECT doc_id, UNNEST(range(1, len(ls) + 1)) AS pos, ls FROM sp),
+inst AS (
+  SELECT doc_id, pos, ls[pos] AS para FROM idx),
+marked AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN len(para) > 0
+              AND md5(para) IN (SELECT ph FROM seen_ph)
+              THEN 1 ELSE 0 END AS rm
+  FROM inst),
+per_doc AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rm = 0 THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '')
+           AS rebuilt
+  FROM marked GROUP BY doc_id)
+SELECT doc_id,
+       CAST(length(rebuilt) AS BIGINT) AS n_chars_after,
+       md5(rebuilt) AS scrubbed_md5
+FROM per_doc ORDER BY doc_id
+""")
+def dedup_bloom_paragraph_scrub(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-run PARAGRAPH suppression, Bloom-pruned and exact
+    (dedup.seen_bloom_paragraph_scrub — the granularity Dolma's
+    deduper publishes): the committed corpus is the even-doc_id half's
+    decorated pages, today's batch the doc_id%3 slice with a shared
+    CTA paragraph appended to EVERY page. Batch docs also in the
+    committed set rebuild to '' (every paragraph seen); odd batch docs
+    lose exactly the CTA and keep their novel prose byte-identically —
+    the md5 certifies both sides per doc, cross-engine. The Bloom
+    bitmap only changes the plan (novel paragraphs bypass the join;
+    might-contain candidates settle in an exact anti-join), so the
+    full NOT-IN oracle holds.
+
+    Scale shape: committed side streams once to distinct md5 digests;
+    batch explodes once, membership marks map-side, only candidates
+    join; rebuild is one groupBy doc_id (paragraph text rides each
+    exchange as payload, never as a key)."""
+    from luzzu_spark.dedup import seen_bloom_paragraph_scrub
+    from luzzu_spark.queries_web import duppara_page_expr
+    d = _docs(spark, sf_dir)
+    seen = (d.where("doc_id % 2 = 0")
+            .select("doc_id", duppara_page_expr().alias("page")))
+    batch = (d.where("doc_id % 3 = 0")
+             .select("doc_id",
+                     F.concat(duppara_page_expr(),
+                              F.lit("\n\nSubscribe to our list."))
+                     .alias("page")))
+    out = seen_bloom_paragraph_scrub(batch, seen, id_col="doc_id",
+                                     text_col="page")
+    return (out.select(
+                "doc_id",
+                F.length(F.coalesce("page", F.lit("")))
+                 .cast("long").alias("n_chars_after"),
+                F.md5(F.coalesce("page", F.lit("")))
+                 .alias("scrubbed_md5"))
+            .orderBy("doc_id"))

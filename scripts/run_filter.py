@@ -97,9 +97,24 @@ def build_args() -> argparse.Namespace:
                         "the index. Created on the first run — size "
                         "it for the corpus lifetime with "
                         "--bloom-expected")
+    p.add_argument("--paragraph-bloom-path", default=None,
+                   metavar="DIR",
+                   help="persisted Bloom index of committed PARAGRAPH "
+                        "digests (Dolma's published granularity): "
+                        "paragraphs any earlier run kept are excised "
+                        "from this batch's docs (text rebuilt) before "
+                        "assessment, so a re-crawled boilerplate block "
+                        "disappears while the page's novel prose "
+                        "survives; after the run the kept docs' "
+                        "paragraphs are OR-ed back in. Approximate: "
+                        "committed paragraphs always excise; ~fpp of "
+                        "novel ones over-excise. Size with "
+                        "--bloom-expected (distinct-paragraph "
+                        "lifetime, several × the doc count)")
     p.add_argument("--bloom-expected", type=int, default=None,
                    help="design capacity (total keys over the index "
-                        "lifetime) for the --seen-bloom-path create; "
+                        "lifetime) for the --seen-bloom-path / "
+                        "--paragraph-bloom-path create; "
                         "default: the first run's kept count")
     p.add_argument("--bloom-shards", type=int, default=1,
                    help="shard count for the --seen-bloom-path create "
@@ -208,7 +223,9 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         for flag, name in ((args.commit_bucket_table,
                             "--commit-bucket-table"),
                            (getattr(args, "seen_bloom_path", None),
-                            "--seen-bloom-path")):
+                            "--seen-bloom-path"),
+                           (getattr(args, "paragraph_bloom_path", None),
+                            "--paragraph-bloom-path")):
             if flag:
                 raise ValueError(f"{name} requires --repeat 1 "
                                  "(one corpus, one committed state)")
@@ -289,6 +306,16 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
             pages = incremental_near_dup_filter(
                 spark, pages, nd_sigs, nd_bands,
                 threshold=getattr(args, "neardup_threshold", 0.5))
+        para_bloom = getattr(args, "paragraph_bloom_path", None)
+        if para_bloom and os.path.exists(
+                os.path.join(para_bloom, "meta.json")):
+            # cross-run PARAGRAPH scrub: committed paragraphs excise
+            # and the text rebuilds BEFORE assessment, so the quality
+            # rules score the deduplicated text (a fully-excised doc
+            # rebuilds to '' and the length rules drop it). Runs after
+            # the doc-level dedups — a doc those drop pays nothing
+            from luzzu_spark.dedup import bloom_paragraph_filter
+            pages = bloom_paragraph_filter(pages, para_bloom)
         return pipe.assess(pages)
 
     def transform(assessed):
@@ -416,6 +443,17 @@ def run_job(spark: SparkSession, args: argparse.Namespace) -> dict:
         kept = spark.read.parquet(ResumableRun.output_glob(args.output))
         result["bloom_index"] = bloom_index_commit(
             kept, "url", bloom_path,
+            expected_items=getattr(args, "bloom_expected", None),
+            shards=getattr(args, "bloom_shards", 1))
+    para_bloom = getattr(args, "paragraph_bloom_path", None)
+    if para_bloom:
+        if args.repeat != 1:
+            raise ValueError("--paragraph-bloom-path requires "
+                             "--repeat 1")
+        from luzzu_spark.dedup import bloom_paragraph_commit
+        kept = spark.read.parquet(ResumableRun.output_glob(args.output))
+        result["paragraph_bloom_index"] = bloom_paragraph_commit(
+            kept, para_bloom,
             expected_items=getattr(args, "bloom_expected", None),
             shards=getattr(args, "bloom_shards", 1))
     return result

@@ -245,6 +245,14 @@ def main() -> None:
           input_bytes=docs_disk,
           note="Bloom-pruned exact anti-join: only might-contain "
                "candidates enter the join")
+    blp = os.path.join(idx_path, "bloom_para")
+    _dd.bloom_paragraph_commit(day1, blp, expected_items=200_000)
+    audit("crossrun_paragraph_bloom_scrub",
+          lambda: _dd.bloom_paragraph_filter(docs_tbl, blp),
+          input_bytes=docs_disk,
+          note="paragraph-granular persisted-bitmap scrub (late r05): "
+               "explode + map-side membership + one groupBy-id "
+               "rebuild; paragraph text rides as payload")
 
     import scripts.build_corpus as bc
     kept = QualityPipeline().filtered(
@@ -292,6 +300,7 @@ def main() -> None:
                 "crossrun_bloom_index(S=1)",
                 "crossrun_bloom_index(S=8 sharded)",
                 "crossrun_bloom_anti_join(exact)",
+                "crossrun_paragraph_bloom_scrub",
                 "builder_exact_dedup",
                 "builder_near_dup_survivors", "builder_paragraph_scrub",
                 "builder_span_excision_char", "builder_pack_seq_ids",

@@ -495,6 +495,80 @@ def test_run_filter_cli_bloom_index_flow(spark, tmp_path):
     assert r2["bloom_index"]["committed_items"] == n1 + len(out2)
 
 
+def test_run_filter_cli_paragraph_bloom_flow(spark, tmp_path):
+    """--paragraph-bloom-path (late r05): cross-run PARAGRAPH dedup
+    from the production entry point. Day 1 commits its kept docs'
+    paragraph digests; a day-2 page quoting one day-1 paragraph loses
+    exactly that block (text rebuilt) while its novel prose survives
+    the full assessment; a page that is ONLY committed paragraphs
+    rebuilds to '' and the length rules drop it."""
+    import argparse
+
+    import scripts.run_filter as rf
+    from luzzu_spark.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1_in = str(tmp_path / "d1")
+    docs.where("doc_id < 30").repartition(2) \
+        .write.mode("overwrite").parquet(day1_in)
+    idx = str(tmp_path / "para_idx")
+
+    def mkargs(**kw):
+        base = dict(input=None, output=None, master=None, batch_size=2,
+                    repeat=1, as_webpages=True, input_format=None,
+                    input_schema=None, inject_pii=False, salt_buckets=0,
+                    seen_table=None, commit_bucket_table=None,
+                    bucket_path=None, n_buckets=4, json=False,
+                    bench=False, paragraph_bloom_path=idx,
+                    bloom_expected=5000)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r1 = rf.run_job(spark, mkargs(
+        input=day1_in, output=str(tmp_path / "out1")))
+    assert r1["complete"]
+    n1 = r1["paragraph_bloom_index"]["committed_items"]
+    assert n1 > 0
+    kept1 = spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out1")))
+    committed_para = (kept1.orderBy("doc_id").limit(1)
+                      .select(F.split("text", "\n\n")[0].alias("p"))
+                      .collect()[0]["p"])
+    assert committed_para
+    # day 2: one novel doc (never-seen fixture text the filter is
+    # known to keep), one page quoting a committed paragraph above
+    # that same novel prose, and one page that is ONLY the committed
+    # paragraph
+    novel_text = (QualityPipeline()
+                  .filtered(as_webpages(docs.where("doc_id >= 50")))
+                  .orderBy("doc_id").limit(1)
+                  .select("text").collect()[0]["text"])
+    day2 = spark.createDataFrame(
+        [(1001, "s1", "en", novel_text),
+         (1002, "s1", "en", committed_para + "\n\n" + novel_text),
+         (1003, "s1", "en", committed_para)],
+        "doc_id long, source string, lang string, text string")
+    day2_in = str(tmp_path / "d2")
+    day2.write.mode("overwrite").parquet(day2_in)
+
+    r2 = rf.run_job(spark, mkargs(
+        input=day2_in, output=str(tmp_path / "out2")))
+    assert r2["complete"]
+    out2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        ResumableRun.output_glob(str(tmp_path / "out2")))
+        .select("doc_id", "text").collect()}
+    assert 1003 not in out2, "all-committed page must rebuild to '' " \
+        "and drop in the length rules"
+    assert 1002 in out2, "novel prose over-dropped with its quote"
+    assert committed_para not in out2[1002], \
+        "committed paragraph leaked into day-2 output"
+    assert out2[1002] == out2[1001], \
+        "after excision the quoting page must assess identically to " \
+        "the purely-novel page"
+    # day-2 keeps commit back in (counter grows by their paragraphs)
+    assert r2["paragraph_bloom_index"]["committed_items"] > n1
+
+
 def test_run_filter_cli_committed_state_preflight(spark, tmp_path):
     """--repeat N>1 with a committed-state flag must fail BEFORE the
     run (pre-flight), not after paying for N full passes: one corpus,

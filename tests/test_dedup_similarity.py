@@ -1179,6 +1179,66 @@ def test_bloom_index_persisted_roundtrip(spark, tmp_path):
     assert out3.count() == 0
 
 
+def test_seen_bloom_paragraph_scrub_exact(spark):
+    """Paragraph-granular cross-run suppression (the Dolma deduper's
+    published granularity), exact-result variant: a batch doc quoting
+    a committed paragraph loses that block but KEEPS its novel prose
+    byte-identically; a doc whose every paragraph was committed
+    rebuilds to ''; empty paragraphs (blank-line runs) are whitespace
+    and never excise; NULL-text docs pass through."""
+    seen = spark.createDataFrame(
+        [(1, "shared boilerplate block\n\nday one unique prose"),
+         (2, None)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "novel opening\n\nshared boilerplate block\n\n"
+              "novel closing"),
+         (11, "shared boilerplate block"),        # fully excised
+         (12, "all new\n\n\n\nwith blank run"),   # empties preserved
+         (13, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.seen_bloom_paragraph_scrub(batch, seen).collect()}
+    assert out == {10: "novel opening\n\nnovel closing",
+                   11: "",
+                   12: "all new\n\n\n\nwith blank run",
+                   13: None}
+
+
+def test_bloom_paragraph_index_two_run_flow(spark, tmp_path):
+    """Persisted paragraph-Bloom index: day 1 commits its paragraphs;
+    day 2 excises every committed paragraph with zero committed-side
+    I/O and matches the exact scrub (false positives improbable at
+    this bitmap size); re-committing is OR-idempotent."""
+    import os
+    idx = str(tmp_path / "para_idx")
+    day1 = spark.createDataFrame(
+        [(1, "shared boilerplate block\n\nday one unique prose")],
+        "doc_id long, text string")
+    meta = dedup.bloom_paragraph_commit(day1, idx, expected_items=1000,
+                                        epoch_id=0)
+    assert meta["committed_items"] == 2    # two distinct paragraphs
+    batch = spark.createDataFrame(
+        [(10, "novel opening\n\nshared boilerplate block\n\n"
+              "novel closing"),
+         (11, "day one unique prose"),
+         (12, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.bloom_paragraph_filter(batch, idx).collect()}
+    exact = {r["doc_id"]: r["text"] for r in
+             dedup.seen_bloom_paragraph_scrub(batch, day1).collect()}
+    assert out == exact == {10: "novel opening\n\nnovel closing",
+                            11: "", 12: None}
+    # replayed commit: bitmap bytes unchanged, counter not inflated
+    with open(os.path.join(idx, "bitmap.bin"), "rb") as f:
+        before = f.read()
+    meta2 = dedup.bloom_paragraph_commit(day1, idx, epoch_id=0)
+    assert meta2["committed_items"] == 2
+    with open(os.path.join(idx, "bitmap.bin"), "rb") as f:
+        assert f.read() == before
+
+
 def test_bloom_commit_epoch_counter_exact(spark, tmp_path):
     """``epoch_id`` makes the fill counter exact under replay: each
     epoch's keys count ONCE even when a crashed first attempt never
