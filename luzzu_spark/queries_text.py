@@ -1254,8 +1254,14 @@ def dedup_bloom_paragraph_scrub(spark: SparkSession,
                      F.concat(duppara_page_expr(),
                               F.lit("\n\nSubscribe to our list."))
                      .alias("page")))
+    # expected_items skips the committed-side sizing count (the
+    # documented at-scale calling convention): a page decorates to
+    # well under 20 paragraphs, and over-sizing costs bits, never
+    # correctness (false positives settle in the exact anti-join).
+    # The unfiltered count() is parquet footer metadata, not a scan.
     out = seen_bloom_paragraph_scrub(batch, seen, id_col="doc_id",
-                                     text_col="page")
+                                     text_col="page",
+                                     expected_items=20 * d.count())
     return (out.select(
                 "doc_id",
                 F.length(F.coalesce("page", F.lit("")))
