@@ -26,8 +26,11 @@ plain parquet so the contract is testable in this sandbox.
 Scale: the manifest holds one tiny JSON per batch (thousands of batches
 for 10^12 docs at ~10^9 docs/batch) — driver-side metadata, never row
 data. Batch outputs land under `batch=<id>/` subdirs so a kept batch is
-immutable and re-listable; readers use `spark.read.parquet(output)` with
-recursiveFileLookup or the explicit glob.
+immutable and re-listable; readers MUST use
+`ResumableRun.output_glob(output)` (= `<output>/batch=*/`): a bare
+`spark.read.parquet(output)` with recursiveFileLookup would sweep the
+sibling `metrics/` parquet (different schema) and `_manifest/` JSON
+into the corpus read (review r05).
 """
 
 from __future__ import annotations

@@ -643,6 +643,19 @@ _U6_SQL = ("(CAST(" + " + ".join(
     f" * {16 ** i}" for i in range(6)) + " AS DOUBLE) / 16777216.0)")
 
 
+def stable_uniform_expr(text_col: str = "text") -> F.Column:
+    """Exact dyadic uniform in [0,1) from six md5 hex digits of the
+    content — the reshard-invariant, RNG-free sampling coin. ONE
+    definition (mirrored by _U6_SQL for the oracles): the sampling
+    contract is "same doc → same split on any cluster, forever", so
+    the builder (scripts/build_corpus.py) and the catalog queries must
+    never drift apart (review r05)."""
+    m = F.md5(text_col)
+    return (sum((F.instr(F.lit("0123456789abcdef"),
+                         F.substring(m, i + 1, 1)) - 1) * (16 ** i)
+                for i in range(6)).cast("double") / F.lit(16777216.0))
+
+
 @register("sample_quality_mix", oracle=f"""
 WITH s AS (SELECT source, SUM({_SCORE_SQL}) AS qs,
                   CAST(COUNT(*) AS BIGINT) AS n
@@ -688,11 +701,7 @@ def sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.lit(0.5) * F.col("big_n") * F.col("qs")
                             / F.col("total_qs") / F.col("n"))
                     .alias("p")))
-    m = F.md5("text")
-    u = sum((F.instr(F.lit("0123456789abcdef"),
-                     F.substring(m, i + 1, 1)) - 1) * (16 ** i)
-            for i in range(6)).cast("double") / F.lit(16777216.0)
-    marked = (d.select("source", u.alias("u"))
+    marked = (d.select("source", stable_uniform_expr().alias("u"))
               .join(F.broadcast(plan), "source")
               .withColumn("kept", (F.col("u") < F.col("p")).cast("long")))
     return (marked.groupBy("source")

@@ -143,7 +143,15 @@ def read_wet_stream(spark: SparkSession, path: str,
     epoch-idempotent sinks. The file-source checkpoint tracks which
     WET files are already processed (the streaming counterpart of the
     batch manifest in checkpoint.py); max_files_per_trigger bounds a
-    micro-batch for backpressure on large drops."""
+    micro-batch for backpressure on large drops.
+
+    Version sniff (review r05): the same driver-side WARC/1.0 check
+    the batch reader runs — a WARC/1.1 (or CRLF-eaten) drop directory
+    would otherwise stream zero rows forever while the checkpoint
+    marks every file consumed. Sniffed once at stream construction
+    over the files present THEN; a version change in later-landing
+    files still has the batch reader's silent-empty caveat."""
+    _check_warc_version([path])
     reader = spark.readStream.option("lineSep", "WARC/1.0\r\n")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",

@@ -142,12 +142,11 @@ def build_args() -> argparse.Namespace:
 
 def stable_uniform(text_col: str = "text") -> F.Column:
     """Exact dyadic uniform in [0,1) from six md5 hex digits — the
-    reshard-invariant sampling coin (same discipline as the
-    sample_stable_hash / sample_quality_mix catalog queries)."""
-    m = F.md5(text_col)
-    return (sum((F.instr(F.lit("0123456789abcdef"),
-                         F.substring(m, i + 1, 1)) - 1) * (16 ** i)
-                for i in range(6)).cast("double") / F.lit(16777216.0))
+    reshard-invariant sampling coin. ONE shared definition with the
+    sample_quality_mix catalog query (review r05: a third copy here
+    could drift and silently break split stability)."""
+    from luzzu_spark.queries_text import stable_uniform_expr
+    return stable_uniform_expr(text_col)
 
 
 def assign_seq_ids(docs: DataFrame, budget: int,
@@ -167,26 +166,47 @@ def assign_seq_ids(docs: DataFrame, budget: int,
             F.lit(_BPE_PACK_PAT)).cast("long")
     else:
         n_toks = F.size(tokens_expr("text")).cast("long")
-    t = docs.withColumn("n_toks", n_toks)
+    # only (id, source, n_toks) enters the window exchange — computing
+    # n_toks inside the projection prunes text/html BEFORE the shuffle
+    # (review r05: the previous withColumn carried every column,
+    # including the corpus text, through the per-source sort); the
+    # narrow seq_id frame then joins back on the well-distributed id
     w = (Window.partitionBy("source").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    return (t.withColumn("cum_before",
-                         F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
-            .withColumn("seq_id",
-                        F.concat_ws("#", "source",
-                                    F.expr(f"cum_before DIV {budget}")))
-            .drop("cum_before"))
+    seq = (docs.select(F.col(id_col), F.col("source"),
+                       n_toks.alias("n_toks"))
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+           .select(id_col, "n_toks",
+                   F.concat_ws("#", "source",
+                               F.expr(f"cum_before DIV {budget}"))
+                   .alias("seq_id")))
+    return docs.join(seq, id_col)
 
 
 def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     from luzzu_spark import dedup
     from luzzu_spark.fixtures import as_webpages
     from luzzu_spark.pipeline import QualityPipeline
-    from luzzu_spark.sources import read_corpus, sniff_format
+    from luzzu_spark.sources import (DOCUMENTS_SCHEMA, read_corpus,
+                                     sniff_format)
 
     funnel: dict = {}
-    pages = read_corpus(spark, args.input,
-                        fmt=sniff_format(args.input))
+    fmt = sniff_format(args.input)
+    # json/csv need a declared schema (review r05: read_corpus raises
+    # without one — same fallback run_filter.py uses)
+    schema = DOCUMENTS_SCHEMA if fmt in ("json", "csv") else None
+    pages = read_corpus(spark, args.input, fmt=fmt, schema=schema)
+    if args.as_webpages and "url" in pages.columns:
+        # as_webpages is the FIXTURE decorator: it synthesizes
+        # url/warc_ts/html from doc_id and drops every other column —
+        # applying it to real crawl data would silently overwrite real
+        # urls with example.com synthetics and lose robots_noindex
+        # (review r05; sources.read_wet documents the same trap)
+        raise ValueError(
+            "--as-webpages on an input that already has a url column: "
+            "the flag synthesizes fixture pages and would overwrite "
+            "the real crawl columns — drop the flag")
     if args.as_webpages or "url" not in pages.columns:
         pages = as_webpages(pages, inject_pii=args.inject_pii)
 
@@ -210,7 +230,20 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
     else:
         funnel["input"] = pages.count()
 
-    kept = QualityPipeline(**pipe_kwargs).filtered(pages)
+    # persist discipline (review r05): every funnel count below is an
+    # action, and without pinning each one re-runs the full upstream
+    # DAG — the Arrow-UDF assessment (the single most expensive stage)
+    # would execute once PER COUNT. Pin the assessment output and the
+    # post-near-dup frame (the expensive join stage); unpersist
+    # everything before returning.
+    pinned: list = []
+
+    def pin(df):
+        df.persist()
+        pinned.append(df)
+        return df
+
+    kept = pin(QualityPipeline(**pipe_kwargs).filtered(pages))
     funnel["quality_kept"] = kept.count()
 
     kept = dedup.exact_dedup(kept)
@@ -223,6 +256,7 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
             "_q").drop("_q")
     else:
         kept = dedup.near_dup_survivors(kept, args.neardup_threshold)
+    kept = pin(kept)
     funnel["after_near_dedup"] = kept.count()
 
     if getattr(args, "dedup_semantic", None):
@@ -259,6 +293,11 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
         kept = assign_seq_ids(kept, args.pack_budget,
                               tokenizer=getattr(args, "pack_tokenizer",
                                                 "whitespace"))
+    # pin the final frame: n_sequences, the datasheet agg, the sink
+    # write and the written count all act on it
+    if pinned[-1] is not kept:
+        kept = pin(kept)
+    if args.pack_budget > 0:
         funnel["n_sequences"] = kept.select("seq_id").distinct().count()
 
     # dataset-card row (corpus_datasheet semantics) for the release
@@ -279,8 +318,16 @@ def build(spark: SparkSession, args: argparse.Namespace) -> dict:
                        if f.dataType.simpleString() == "binary"]
         writer = kept.drop(*binary_cols).write.mode("overwrite")
     writer.format(args.format).save(args.output)
-    funnel["written"] = spark.read.format(args.format) \
-        .load(args.output).count()
+    if args.format == "parquet":
+        # self-describing: the read-back verifies the sink
+        funnel["written"] = spark.read.parquet(args.output).count()
+    else:
+        # json re-read needs schema inference, which RAISES on an
+        # empty-but-successful output (review r05) — count the pinned
+        # frame that was written instead
+        funnel["written"] = kept.count()
+    for df in pinned:
+        df.unpersist()
     return funnel
 
 
