@@ -55,6 +55,22 @@ def _unit_rows(M: np.ndarray) -> np.ndarray:
     return np.divide(M, n, out=np.zeros_like(M), where=n > 0)
 
 
+def _decollide_seeds(seed_idx: np.ndarray, n: int) -> list[int]:
+    """Deterministic k-means seed de-collision: wrap each colliding
+    index forward past the taken ones. Shared by the IVF coarse
+    quantizer and the PQ sub-space trainer (review r05: the block was
+    duplicated line-for-line in pq.py)."""
+    seen: set[int] = set()
+    seeds = []
+    for i in seed_idx:
+        j = int(i)
+        while j in seen:
+            j = (j + 1) % n
+        seen.add(j)
+        seeds.append(j)
+    return seeds
+
+
 def sample_training_matrix(embeddings: DataFrame, max_train: int = MAX_TRAIN,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> np.ndarray:
@@ -101,16 +117,7 @@ def train_centroids(train: np.ndarray, n_lists: int = N_LISTS,
     with np.errstate(over="ignore"):
         seed_idx = (_splitmix64_vec(np.arange(k, dtype=np.uint64))
                     % np.uint64(n)).astype(np.int64)
-    # de-collide seeds deterministically (wrap forward past duplicates)
-    seen: set[int] = set()
-    seeds = []
-    for i in seed_idx:
-        j = int(i)
-        while j in seen:
-            j = (j + 1) % n
-        seen.add(j)
-        seeds.append(j)
-    C = X[seeds].copy()
+    C = X[_decollide_seeds(seed_idx, n)].copy()
     for _ in range(iters):
         # assign: argmax cosine == argmax dot (all unit rows)
         assign = (X @ C.T).argmax(axis=1)
@@ -188,16 +195,14 @@ def _probed_queries(queries: DataFrame, centroids: np.ndarray,
 
 def _score_probed(indexed: DataFrame, q: DataFrame, k: int,
                   id_col: str, vec_col: str) -> DataFrame:
-    from luzzu_spark.similarity import cosine_expr
+    from luzzu_spark.similarity import cosine_expr, topk_per_query
     scored = (indexed.join(F.broadcast(q), "list_id")
               .where(F.col("query_id") != F.col(id_col))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       cosine_expr(F.col("qvec"),
                                   F.col(vec_col)).alias("sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= k))
+    # unsorted: the catalog wrapper owns the deterministic order
+    return topk_per_query(scored, k, sort=False)
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -239,7 +244,14 @@ def ivf_topk_over_index(spark, index_path: str, queries: DataFrame,
     in tests/test_plans.py). Results are identical to ivf_topk with
     the same centroids/nprobe — only the pruning moves from join time
     to scan time."""
-    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    # materialize the probe frame ONCE: the collect below and the
+    # scoring join must see the SAME probe rows — without this, a
+    # nondeterministic queries input (e.g. an unordered .limit()) can
+    # re-evaluate differently and a probed cell missing from `lists`
+    # silently scans zero candidates (review r05). Bounded:
+    # n_queries × nprobe rows.
+    q = _probed_queries(queries, centroids, nprobe, id_col,
+                        vec_col).localCheckpoint(eager=True)
     lists = sorted({r["list_id"]
                     for r in q.select("list_id").distinct().collect()})
     corpus = (spark.read.parquet(index_path)

@@ -142,8 +142,18 @@ def _payload_projection(df: DataFrame, payload_col: str,
 def with_image_metadata(df: DataFrame, payload_col: str = "html",
                         key_col: str = "url",
                         strict: bool = False) -> DataFrame:
-    meta = (_payload_projection(df, payload_col, key_col)
-            .mapInPandas(_meta_fn(strict), IMAGE_META_SCHEMA))
+    # the metadata frame derives from df itself, so a key appearing n
+    # times would otherwise join back n×n (review r05: pre-dedup crawls
+    # legitimately repeat urls). Collapse AFTER decode — the tiny meta
+    # rows shuffle instead of the binary payloads — and pick the
+    # min-struct row per key so a recrawled url with a DIFFERENT
+    # payload still resolves deterministically.
+    meta_raw = (_payload_projection(df, payload_col, key_col)
+                .mapInPandas(_meta_fn(strict), IMAGE_META_SCHEMA))
+    val_cols = [c for c in meta_raw.columns if c != "url"]
+    meta = (meta_raw.groupBy("url")
+            .agg(F.min(F.struct(*val_cols)).alias("_m"))
+            .select("url", "_m.*"))
     return df.join(meta, df[key_col] == meta["url"], "left") \
         .drop(meta["url"])
 
@@ -160,6 +170,10 @@ def image_features(df: DataFrame, payload_col: str = "html",
 def video_frame_samples(df: DataFrame, payload_col: str = "html",
                         key_col: str = "url", n_frames: int = 4,
                         strict: bool = False) -> DataFrame:
+    if n_frames < 1:
+        # fail on the driver with a clear message, not as a per-row
+        # ZeroDivisionError inside the Arrow worker (review r05)
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     return (_payload_projection(df, payload_col, key_col)
             .mapInPandas(_frames_fn(n_frames, strict),
                          FRAME_SAMPLE_SCHEMA))

@@ -81,15 +81,8 @@ def _kmeans_1d(X: np.ndarray, k: int, iters: int,
             np.arange(k, dtype=np.uint64)
             + np.uint64(seed_salt * 0x9E3779B9)) % np.uint64(n)
         ).astype(np.int64)
-    seen: set[int] = set()
-    seeds = []
-    for i in seed_idx:
-        j = int(i)
-        while j in seen:
-            j = (j + 1) % n
-        seen.add(j)
-        seeds.append(j)
-    C = X[seeds].copy()
+    from luzzu_spark.ivf import _decollide_seeds
+    C = X[_decollide_seeds(seed_idx, n)].copy()
     for _ in range(iters):
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
         d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
@@ -123,6 +116,12 @@ def train_pq_codebooks(train: np.ndarray, centroids: np.ndarray,
         raise ValueError("empty training sample")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if nbits > 8:
+        # codes persist as one uint8 per subspace — a larger codebook
+        # would silently wrap codeword ids modulo 256 at encode time
+        # (review r05: wrong gathers, no error)
+        raise ValueError(f"nbits={nbits} > 8: codes are byte-packed "
+                         "(<= 256 codewords per subspace)")
     R = X - centroids[_assign_rows(X, centroids)]
     dsub = dim // m
     k = min(1 << nbits, n)
@@ -261,7 +260,12 @@ def ivfpq_topk_over_index(spark, index_path: str, queries: DataFrame,
     is never read. Results are identical to ivfpq_topk with the same
     models/nprobe/refine."""
     centroids, codebooks = models
-    q = _probed_queries(queries, centroids, nprobe, id_col, vec_col)
+    # one materialization feeds BOTH the collected partition filter and
+    # the scoring join (review r05: a nondeterministic queries input
+    # could otherwise re-evaluate into cells missing from `lists` and
+    # silently scan zero candidates); bounded n_queries × nprobe rows
+    q = _probed_queries(queries, centroids, nprobe, id_col,
+                        vec_col).localCheckpoint(eager=True)
     lists = sorted({r["list_id"]
                     for r in q.select("list_id").distinct().collect()})
     index = (spark.read.parquet(index_path)
@@ -273,12 +277,18 @@ def ivfpq_topk_over_index(spark, index_path: str, queries: DataFrame,
 def _score_pq(index: DataFrame, q: DataFrame, embeddings: DataFrame,
               codebooks: np.ndarray, centroids: np.ndarray, k: int,
               refine: int, id_col: str, vec_col: str) -> DataFrame:
-    """Shared ADC + optional exact-refine scoring over probed cells."""
+    """Shared ADC + optional exact-refine scoring over probed cells.
+
+    Shuffle discipline (review r05): the ADC rank exchange carries
+    (query_id, neighbor_id, adc) triples ONLY — the dim×8-byte float
+    query vector is dropped before the window and re-attached to the
+    tiny shortlist from the broadcast query side; the refine fetch
+    BROADCASTS the shortlist so the 100 TB embeddings table is probed
+    in place, never hash-partitioned by neighbor_id."""
     from luzzu_spark.similarity import cosine_expr
     adc = (index.join(F.broadcast(q), "list_id")
            .where(F.col("query_id") != F.col(id_col))
            .select("query_id", F.col(id_col).alias("neighbor_id"),
-                   "qvec",
                    _adc_udf(codebooks, centroids)(
                        F.col("qvec"), F.col("code"),
                        F.col("list_id")).alias("adc")))
@@ -290,15 +300,18 @@ def _score_pq(index: DataFrame, q: DataFrame, embeddings: DataFrame,
                 .where(F.col("rnk") <= k)
                 .select("query_id", "neighbor_id",
                         F.col("adc").alias("sim"), "rnk"))
+    # q is exploded per probe — one qvec row per query for re-attach
+    qvecs = q.select("query_id", "qvec").dropDuplicates(["query_id"])
     shortlist = (adc.withColumn("arnk", F.row_number().over(w))
                  .where(F.col("arnk") <= k * refine)
-                 .select("query_id", "neighbor_id", "qvec"))
-    exact = (shortlist.join(
-        embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("nvec")),
-        "neighbor_id")
-        .select("query_id", "neighbor_id",
-                cosine_expr(F.col("qvec"), F.col("nvec")).alias("sim")))
+                 .select("query_id", "neighbor_id")
+                 .join(F.broadcast(qvecs), "query_id"))
+    exact = (embeddings.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("nvec"))
+             .join(F.broadcast(shortlist), "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     cosine_expr(F.col("qvec"),
+                                 F.col("nvec")).alias("sim")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (exact.withColumn("rnk", F.row_number().over(w2).cast("long"))

@@ -60,7 +60,18 @@ def _plane_matrix(dim: int, planes: int) -> np.ndarray:
 
 
 def _mat(series: pd.Series) -> np.ndarray:
-    return np.array(series.tolist(), dtype=np.float64)
+    """Stack an Arrow batch of embedding arrays into a float matrix.
+    NULL rows become zero vectors (review r05): upstream web corpora
+    legitimately carry null array columns, and np.array on a
+    None-containing list raises an opaque worker-side ValueError that
+    kills the whole stage — a zero vector instead flows through as
+    cosine 0.0 ("similar to nothing"), the same contract as zero-norm
+    embeddings. Genuinely ragged non-null arrays still raise."""
+    vals = series.tolist()
+    if any(v is None for v in vals):
+        dim = next((len(v) for v in vals if v is not None), 1)
+        vals = [v if v is not None else [0.0] * dim for v in vals]
+    return np.array(vals, dtype=np.float64)
 
 
 @pandas_udf(DoubleType())
@@ -70,7 +81,11 @@ def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     A, B = _mat(a), _mat(b)
     num = (A * B).sum(axis=1)
     den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-    out = np.divide(num, den, out=np.full(len(a), np.nan), where=den > 0)
+    # zero-norm (or null→zero) rows score 0.0, NOT NaN: Spark's total
+    # ordering puts NaN ABOVE every number, so a NaN sim would both
+    # pass `sim >= threshold` and rank FIRST under desc(sim) — a zero
+    # vector would become everyone's top near-duplicate (review r05)
+    out = np.divide(num, den, out=np.zeros(len(a)), where=den > 0)
     return pd.Series(out)
 
 
@@ -140,11 +155,22 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       cosine_expr(F.col("qvec"),
                                   F.col(vec_col)).alias("sim")))
+    return topk_per_query(scored, k)
+
+
+def topk_per_query(scored: DataFrame, k: int,
+                   sort: bool = True) -> DataFrame:
+    """Per-query top-k of a (query_id, neighbor_id, sim) frame —
+    deterministic rank (ties → lowest neighbor id). ONE definition for
+    the four ANN rankers (brute/LSH/multi-probe/IVF; review r05: the
+    block was copy-pasted, so a tie-break fix needed four patches).
+    ``sort=False`` skips the final global sort for callers whose
+    catalog wrapper orders the result itself (the IVF family)."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= k)
-            .orderBy("query_id", "rnk"))
+    out = (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+           .where(F.col("rnk") <= k))
+    return out.orderBy("query_id", "rnk") if sort else out
 
 
 def hyperplane_bucket(vec_col: str = "embedding",
@@ -170,11 +196,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       cosine_expr(F.col("qvec"),
                                   F.col(vec_col)).alias("sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= k)
-            .orderBy("query_id", "rnk"))
+    return topk_per_query(scored, k)
 
 
 def lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
@@ -203,11 +225,7 @@ def lsh_multiprobe_topk(embeddings: DataFrame, queries: DataFrame,
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       cosine_expr(F.col("qvec"),
                                   F.col(vec_col)).alias("sim")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where(F.col("rnk") <= k)
-            .orderBy("query_id", "rnk"))
+    return topk_per_query(scored, k)
 
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,

@@ -148,6 +148,45 @@ def test_lsh_multiprobe_recall_lift(spark):
         assert abs(bf[key] - r["sim"]) < 1e-9
 
 
+def test_zero_and_null_embeddings_never_near_dup(spark):
+    """Spark's NaN total ordering puts NaN ABOVE every number, so a
+    NaN cosine would both pass `sim >= threshold` and rank FIRST under
+    desc(sim) — a zero-norm (or NULL) embedding must instead score 0.0
+    everywhere: never a near-dup pair, never a top-ranked neighbor
+    (review r05)."""
+    from luzzu_spark import similarity
+    from luzzu_spark.similarity import cosine_near_dup_pairs
+
+    dim = 8
+    rows = [(1, [1.0] + [0.0] * (dim - 1)),
+            (2, [1.0] + [0.0] * (dim - 1)),   # true twin of 1
+            (3, [0.0] * dim),                 # zero-norm
+            (4, None)]                        # null embedding
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b)
+             for r in cosine_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}, pairs
+    # brute-force top-k: the zero/null rows rank LAST, not first
+    q = spark.createDataFrame([(100, [1.0] + [0.0] * (dim - 1))],
+                              "vec_id long, embedding array<double>")
+    top = similarity.brute_force_topk(emb, q, k=1).collect()
+    assert top[0].neighbor_id in (1, 2), top
+    assert top[0].sim == 1.0
+
+
+def test_pq_nbits_over_8_raises(spark):
+    """Codes are byte-packed — a >8-bit codebook would silently wrap
+    codeword ids modulo 256 at encode time (review r05)."""
+    import numpy as np
+
+    from luzzu_spark import pq
+    train = np.arange(64, dtype=np.float64).reshape(8, 8)
+    cents = np.eye(2, 8)
+    with pytest.raises(ValueError, match="nbits"):
+        pq.train_pq_codebooks(train, cents, m=2, nbits=10)
+
+
 def test_cosine_near_dup_pairs_planted(spark):
     """The fixture's vectors are near-orthogonal (max pairwise sim
     ≈ 0.48), so near-dups are PLANTED: 20 vectors get a slightly

@@ -28,6 +28,24 @@ def test_image_metadata_schema_and_join(spark, pages):
     assert all(64 <= r.width < 576 and r.channels == 3 for r in rows)
 
 
+def test_image_metadata_duplicate_keys_no_blowup(spark, pages):
+    """A pre-dedup crawl repeats urls; the metadata join must stay one
+    output row per input row, not n×n per duplicated key
+    (review r05)."""
+    doubled = pages.unionByName(pages)
+    out = multimodal.with_image_metadata(doubled)
+    assert out.count() == doubled.count()
+    assert out.where("width IS NULL").count() == 0
+
+
+def test_video_frame_samples_invalid_n_frames(spark, pages):
+    """n_frames < 1 fails on the driver with a clear message, not as a
+    per-row ZeroDivisionError inside the Arrow worker (review r05)."""
+    import pytest
+    with pytest.raises(ValueError, match="n_frames"):
+        multimodal.video_frame_samples(pages, n_frames=0)
+
+
 def test_image_features_deterministic(spark, pages):
     f1 = multimodal.image_features(pages).orderBy("url").collect()
     f2 = multimodal.image_features(pages).orderBy("url").collect()
