@@ -153,4 +153,16 @@ def distill(docs: DataFrame, lam: float = RIDGE_LAMBDA) -> DataFrame:
     feats = doc_features(docs).persist()
     w = train_student(feats, lam)   # collects ⇒ cache fully consumed
     feats.unpersist()
-    return student_scores(doc_features(docs), w)
+    scored = student_scores(doc_features(docs), w)
+    # zero-token docs have no feature rows (explode emits nothing), so
+    # they vanish from the scored frame — re-attach them with the
+    # values the math gives a zero-feature doc anyway (teacher label 0,
+    # score 0.0, ŷ 0), keeping the documented per-doc contract
+    # row-complete (review r05)
+    return (docs.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+                    F.coalesce("score", F.lit(0.0)).alias("score"),
+                    F.coalesce("y_hat", F.lit(0)).cast("long")
+                     .alias("y_hat")))

@@ -76,6 +76,10 @@ def score_histogram(assessed: DataFrame, rule: str, lo: float, hi: float,
 
     Bucket index via floor arithmetic (portable to any SQL oracle);
     clamped to [0, n_buckets-1]; one narrow groupBy on a small key."""
+    if hi <= lo:
+        raise ValueError(f"score_histogram needs hi > lo, got "
+                         f"[{lo}, {hi}] — a degenerate range would "
+                         "divide by zero (review r05)")
     col = F.col(f"score_{rule}").cast("double")
     step = (hi - lo) / n_buckets
     bucket = F.least(

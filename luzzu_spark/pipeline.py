@@ -125,8 +125,12 @@ class QualityPipeline:
         out = assessed.filter(F.col("keep"))
         cols = [c for c in ("url", "warc_ts", "lang", "lang_pred",
                             "doc_id", "source") if c in out.columns]
+        # scrub=False pipelines never attach text_scrubbed — emit the
+        # raw text instead of failing UNRESOLVED_COLUMN (review r05)
+        text = ("text_scrubbed" if "text_scrubbed" in out.columns
+                else "text")
         return out.select(*cols,
-                          F.col("text_scrubbed").alias("text"),
+                          F.col(text).alias("text"),
                           "rule_scores")
 
     def problem_report(self, assessed: DataFrame) -> DataFrame:
@@ -213,8 +217,16 @@ class QualityPipeline:
                     ("observations", observations(slim)),
                     ("lineage", partition_lineage(slim)),
                     ("problems", self.problem_report(slim))):
+                # dynamic overwrite of this run_id's partition only: a
+                # retried report run (crash between the three sinks)
+                # REWRITES its own rows instead of appending duplicate
+                # metric rows that double-count every downstream
+                # aggregate (review r05; same replay discipline as
+                # write_epoch_idempotent)
                 (df.withColumn("run_id", F.lit(run_id))
-                   .write.mode("append").partitionBy("run_id")
+                   .write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("run_id")
                    .parquet(f"{path}/{name}"))
         finally:
             slim.unpersist()

@@ -48,12 +48,17 @@ def get_spark(app_name: str = "luzzu_spark", master: str | None = None,
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an externally-created session
-    (the driver passes its own session into ``queries()`` callables)."""
+    """Apply runtime-settable engine confs to an externally-created
+    session (the driver passes its own session into ``queries()``
+    callables). Attempt EVERY default conf and let the except skip the
+    genuinely non-runtime ones (review r05: the old adaptive/arrow
+    prefix filter silently skipped session.timeZone=UTC, which the
+    streaming/fixture TIMESTAMP_NTZ→TIMESTAMP casts depend on — a
+    non-UTC driver JVM would shift every window epoch by its zone
+    offset)."""
     for k, v in DEFAULT_CONFS.items():
-        if k.startswith(("spark.sql.adaptive", "spark.sql.execution.arrow")):
-            try:
-                spark.conf.set(k, v)
-            except Exception:
-                pass  # non-runtime conf on this build — defaults still fine
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — defaults still fine
     return spark

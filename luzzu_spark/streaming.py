@@ -212,15 +212,16 @@ def write_epoch_idempotent(df: DataFrame, out_path: str,
     effectively-once output (given deterministic batch replay): a
     failure between write and checkpoint commit replays the epoch, and
     the replay rewrites the same directory (ADVICE r02)."""
-    sess = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = sess.conf.get(key, "static")
-    sess.conf.set(key, "dynamic")
-    try:
-        (df.withColumn("epoch", F.lit(int(epoch_id)))
-         .write.mode("overwrite").partitionBy("epoch").parquet(out_path))
-    finally:
-        sess.conf.set(key, old)
+    # per-write option, NOT the session conf: toggling the global conf
+    # races with any concurrent writer in the same session — a second
+    # sink restoring 'static' mid-flight would turn this overwrite into
+    # a full-corpus wipe (review r05). DataFrameWriter honors the
+    # option for path-based writes; the conf dance is only needed for
+    # insertInto (commit_minhash_index).
+    (df.withColumn("epoch", F.lit(int(epoch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch").parquet(out_path))
 
 
 def write_stream_filtered(pages: DataFrame, out_path: str,
@@ -301,12 +302,19 @@ def write_stream_filtered_neardup(pages: DataFrame, out_path: str,
             batch_df = incremental_near_dup_filter(
                 spark, batch_df, sigs_t, bands_t, threshold=threshold,
                 exclude_epoch=epoch_id)
-        kept = pipe.filtered(batch_df)
-        write_epoch_idempotent(kept, out_path, epoch_id)
-        commit_minhash_index(kept, sigs_t, bands_t, index_path,
-                             n_buckets=n_buckets,
-                             mode="append" if exists else "overwrite",
-                             epoch_id=epoch_id)
+        # pin for the TWO consumers: without it, the corpus write and
+        # the index commit each re-execute the full assessment (the
+        # Arrow plugin stage) — 2-3 pipeline runs per micro-batch
+        # (review r05; same discipline as pipeline.write_reports)
+        kept = pipe.filtered(batch_df).persist()
+        try:
+            write_epoch_idempotent(kept, out_path, epoch_id)
+            commit_minhash_index(kept, sigs_t, bands_t, index_path,
+                                 n_buckets=n_buckets,
+                                 mode="append" if exists else "overwrite",
+                                 epoch_id=epoch_id)
+        finally:
+            kept.unpersist()
 
     return (pages.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
@@ -419,12 +427,19 @@ def write_stream_filtered_bloom(pages: DataFrame, out_path: str,
             kept_keys = (spark.read.parquet(out_path)
                          .where(F.col("epoch") == int(epoch_id))
                          .select(key))
-        except AnalysisException:
-            # the one legitimate miss: nothing kept yet ANYWHERE, so
-            # the corpus path does not exist. Any other failure must
-            # surface — swallowing it would permanently omit a kept
-            # epoch's keys from the bitmap (review r05)
-            if not os.path.exists(out_path):
+        except AnalysisException as exc:
+            # two legitimate misses, both "nothing kept yet ANYWHERE":
+            # the corpus path absent, or present with no data files
+            # (an all-dropped first epoch leaves only _SUCCESS, which
+            # fails schema inference). Detected by ERROR CLASS, not
+            # os.path (review r05: os.path.exists is always False on
+            # s3a/hdfs, which would swallow REAL failures and
+            # permanently omit a kept epoch's keys from the bitmap —
+            # and always True for the empty local dir, which would
+            # crash-loop the stream). Anything else surfaces.
+            msg = str(exc)
+            if ("PATH_NOT_FOUND" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg):
                 return
             raise
         # meta's last_epoch makes the fill counter exact under replay:

@@ -69,6 +69,23 @@ def test_student_learns_teacher(spark):
     assert agg["ok"] / agg["n"] >= 0.8, agg
 
 
+def test_distill_keeps_zero_token_docs(spark):
+    """Zero-token docs have no feature rows to explode; the per-doc
+    contract must still return them (y=0, score=0.0, ŷ=0) instead of
+    silently dropping rows (review r05)."""
+    base = _docs(spark).limit(20)
+    extra = spark.createDataFrame(
+        [(990001, ""), (990002, "   "), (990003, None)],
+        "doc_id long, text string")
+    docs = base.select("doc_id", "text").unionByName(extra)
+    out = distill.distill(docs)
+    assert out.count() == docs.count()
+    empt = {r["doc_id"]: (r["y"], r["score"], r["y_hat"])
+            for r in out.where("doc_id >= 990000").collect()}
+    assert empt == {990001: (0, 0.0, 0), 990002: (0, 0.0, 0),
+                    990003: (0, 0.0, 0)}
+
+
 def test_scoring_path_has_no_python(spark):
     """Scoring = broadcast weight join + hash agg: no Python eval node
     of any kind in the plan."""

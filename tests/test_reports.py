@@ -43,6 +43,41 @@ def test_write_reports_roundtrip(spark, tmp_path):
     assert prob.select("url").distinct().count() == n_dropped
 
 
+def test_write_reports_retry_idempotent(spark, tmp_path):
+    """A retried report run under the SAME run_id (crash between the
+    three sinks → natural resume) must rewrite its own partition, not
+    append duplicate metric rows that double-count every downstream
+    aggregate (review r05)."""
+    path = str(tmp_path / "reports_retry")
+    pipe = QualityPipeline()
+    pages = as_webpages(load_table(spark, SF, "documents"))
+    assessed = pipe.assess(pages)
+    pipe.write_reports(assessed, path, run_id="runX")
+    counts1 = {n: spark.read.parquet(f"{path}/{n}").count()
+               for n in ("observations", "lineage", "problems")}
+    pipe.write_reports(assessed, path, run_id="runX")   # the retry
+    counts2 = {n: spark.read.parquet(f"{path}/{n}").count()
+               for n in ("observations", "lineage", "problems")}
+    assert counts2 == counts1, (counts1, counts2)
+
+
+def test_score_histogram_degenerate_range_raises(spark, assessed):
+    from luzzu_spark.metrics import score_histogram
+    import pytest
+    with pytest.raises(ValueError, match="hi > lo"):
+        score_histogram(assessed, "langid_conf", 0.0, 0.0)
+
+
+def test_scrub_false_pipeline_filters(spark):
+    """QualityPipeline(scrub=False) must still produce the filtered
+    corpus (raw text column) instead of failing UNRESOLVED_COLUMN on
+    the never-attached text_scrubbed (review r05)."""
+    pages = as_webpages(load_table(spark, SF, "documents"))
+    out = QualityPipeline(scrub=False).filtered(pages)
+    assert "text" in out.columns
+    assert out.count() > 0
+
+
 def test_observation_facets_complete(spark, assessed):
     obs = observations(assessed)
     rows = {r.metric: r for r in obs.collect()}
