@@ -185,27 +185,30 @@ def bench_ingest(spark: SparkSession, sf_dir: str) -> dict:
     from luzzu_spark.pipeline import QualityPipeline
     from luzzu_spark.sources import read_warc_html, read_wet
     wet_dir, warc_dir, n = _synth_crawl(spark, sf_dir)
-    pipe = QualityPipeline()
-    frames = {
-        "wet_ingest": pipe.assess(read_wet(spark, wet_dir)),
-        "warc_extract": pipe.assess(read_warc_html(spark, warc_dir)),
-    }
-    for df in frames.values():
-        run_noop(df)  # warm-up (cold text-source scan + Arrow spin-up)
-    trials: dict[str, list[float]] = {k: [] for k in frames}
-    for _ in range(2):
-        for k, df in frames.items():
-            trials[k].append(run_noop(df))
-    out = {k: round(min(ts), 3) for k, ts in trials.items()}
-    result = {
-        "timings": out,
-        "ingest_docs": n,
-        "wet_docs_per_sec": round(n / out["wet_ingest"], 1),
-        "warc_docs_per_sec": round(n / out["warc_extract"], 1),
-    }
-    shutil.rmtree(os.path.dirname(wet_dir.rstrip("/")),
-                  ignore_errors=True)
-    return result
+    try:
+        pipe = QualityPipeline()
+        frames = {
+            "wet_ingest": pipe.assess(read_wet(spark, wet_dir)),
+            "warc_extract": pipe.assess(read_warc_html(spark, warc_dir)),
+        }
+        for df in frames.values():
+            run_noop(df)  # warm-up (cold text scan + Arrow spin-up)
+        trials: dict[str, list[float]] = {k: [] for k in frames}
+        for _ in range(2):
+            for k, df in frames.items():
+                trials[k].append(run_noop(df))
+        out = {k: round(min(ts), 3) for k, ts in trials.items()}
+        return {
+            "timings": out,
+            "ingest_docs": n,
+            "wet_docs_per_sec": round(n / out["wet_ingest"], 1),
+            "warc_docs_per_sec": round(n / out["warc_extract"], 1),
+        }
+    finally:
+        # also on failure — a crashed trial must not strand ~30 MB of
+        # synthetic crawl per bench attempt in /tmp (review r05)
+        shutil.rmtree(os.path.dirname(wet_dir.rstrip("/")),
+                      ignore_errors=True)
 
 
 def _md5_rate(seconds: float = 0.25) -> float:
@@ -276,32 +279,44 @@ def _latest_scaling_run() -> dict:
         # directions: 0.734 and 1.065 on the same idle box with
         # IDENTICAL aggregates), so the median over valid runs is the
         # stable summary
+        # honor the explicit valid flag first (r05 entries carry one);
+        # the note heuristic covers pre-r05 entries whose prose is the
+        # only invalidity marker. Accept the harness's own key
+        # spellings too (scaling_efficiency / speedup_n_to_4n) so a
+        # verbatim append of its JSON line cannot crash the artifact
+        # print after minutes of benching (review r05) — the whole
+        # body stays inside the try for the same reason.
+        def eff(r):
+            return r["efficiency"] if "efficiency" in r \
+                else r["scaling_efficiency"]
         valid = [r for r in runs
-                 if "degraded-host" not in r.get("note", "")
+                 if r.get("valid", True)
+                 and "degraded-host" not in r.get("note", "")
                  and "anomalous" not in r.get("note", "")]
         last = valid[-1]
+        out = {
+            "measured_by": "scripts/executor_scaling_bench.py "
+                           "(latest valid entry of SCALING.json runs)",
+            "throughput_1x8core_executor":
+                last["throughput_1_executor"],
+            "throughput_4x8core_executors":
+                last["throughput_4_executors_aggregate"],
+            "efficiency_n_to_4n": eff(last),
+            "target": 0.8,
+        }
+        effs = sorted(eff(r) for r in valid)
+        mid = len(effs) // 2
+        out["valid_runs"] = len(effs)
+        out["median_efficiency_valid_runs"] = (
+            effs[mid] if len(effs) % 2 else
+            round((effs[mid - 1] + effs[mid]) / 2, 3))
+        n_excluded = len(runs) - len(valid)
+        if n_excluded:
+            out["invalid_runs_excluded"] = n_excluded
+        return out
     except (OSError, KeyError, IndexError, ValueError):
         return {"measured_by": "scripts/executor_scaling_bench.py",
-                "note": "no SCALING.json history found"}
-    out = {
-        "measured_by": "scripts/executor_scaling_bench.py "
-                       "(latest valid entry of SCALING.json runs)",
-        "throughput_1x8core_executor": last["throughput_1_executor"],
-        "throughput_4x8core_executors":
-            last["throughput_4_executors_aggregate"],
-        "efficiency_n_to_4n": last["efficiency"],
-        "target": 0.8,
-    }
-    effs = sorted(r["efficiency"] for r in valid)
-    mid = len(effs) // 2
-    out["valid_runs"] = len(effs)
-    out["median_efficiency_valid_runs"] = (
-        effs[mid] if len(effs) % 2 else
-        round((effs[mid - 1] + effs[mid]) / 2, 3))
-    n_excluded = len(runs) - len(valid)
-    if n_excluded:
-        out["invalid_runs_excluded"] = n_excluded
-    return out
+                "note": "no SCALING.json history found or readable"}
 
 
 def main() -> None:
@@ -368,9 +383,9 @@ def main() -> None:
                   if n in catalog}
     for _ in range(2):
         for name in ext_trials:
-            t0 = time.time()
+            t0 = time.perf_counter()
             run_noop(catalog[name](spark, SF_DIR))
-            ext_trials[name].append(time.time() - t0)
+            ext_trials[name].append(time.perf_counter() - t0)
     timings_extended = {n: round(min(ts), 3)
                         for n, ts in ext_trials.items() if n in extended}
     timings_extended_r04 = {n: round(min(ts), 3)
@@ -398,9 +413,14 @@ def main() -> None:
     # floor at 50 ms: below that, q1's wall is dominated by per-query
     # fixed overhead and the ratio is noise (a 1 ms q1 would flag a
     # healthy host); such artifacts just omit the signal
+    # normalize by the replicate factor: the pipeline leg's wall is
+    # ~linear in SPARK_GRAFT_BENCH_REPLICATE while q1's is constant,
+    # so the raw ratio at REPLICATE=50 would flag a healthy host
+    # (review r05); the 8.0 threshold is calibrated at the default 20
     q1 = timings.get("q1_pricing_summary")
     if q1 is not None and q1 >= 0.05:
-        ratio = round(timings["pipeline_full_filter"] / q1, 2)
+        ratio = round(timings["pipeline_full_filter"] / q1
+                      * (20.0 / max(REPLICATE, 1)), 2)
         control["arrow_vs_jvm_ratio"] = ratio
         control["arrow_suspect"] = ratio > 8.0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -92,6 +92,14 @@ _CHANGED_SINCE_LAST_GREEN: tuple[str, ...] = (
     # Spark side is Java \s (6) — oracles moved to the explicit class
     # [ \t\n\x0b\f\r]+; every query whose oracle text changed re-enters
     "text_alpha_word_fraction", "text_dup_para_fraction",
+    # late-r05 review: session gap moved to exact epoch MICROSECONDS on
+    # both engines (truncating unix_timestamp vs fractional EPOCH made
+    # threshold-straddling gaps sessionize differently — green by luck)
+    "events_session_counts",
+    # late-r05 review: the interpreted stopword HOF scan replaced by
+    # one-pass regex counts (same single-space token semantics, oracle
+    # untouched; CLAUDE.md rule 1)
+    "metrics_run_delta",
 )
 
 _WINDOW: tuple[str, ...] = (
@@ -107,6 +115,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_cluster_quality_survivors", "dedup_incremental_pairs",
     "dedup_near_survivors", "split_leakage_audit", "mix_epoch_plan",
     "text_alpha_word_fraction", "text_dup_para_fraction",
+    "events_session_counts", "metrics_run_delta",
     # (c) refill -- r01-latest (stalest green rows in the catalog)
     "agg_cube_lang_source", "window_top2_docs_per_source",
     "supplier_revenue_by_nation", "part_type_price_stats",
@@ -121,7 +130,7 @@ _WINDOW: tuple[str, ...] = (
     "agg_rollup_acctbal", "join_broadcast_dims",
     "join_semi_customers_with_orders", "join_anti_customers_no_orders",
     "join_range_events_orders", "window_rank_customers",
-    "window_running_avg", "window_lag_deltas", "sort_topk_parts",
+    "sort_topk_parts",
     "set_except_sources", "set_intersect_sources",
     "dedup_first_doc_per_source",
     "events_tumbling_10min", "text_fingerprint",
@@ -129,8 +138,11 @@ _WINDOW: tuple[str, ...] = (
     # multimodal_binary_stats rotated out for dedup_bloom_seen_filter;
     # events_date_stats + embed_norm_stats for the two \x0b-class
     # oracle re-verifies above; events_json_sum for the late-r05
-    # dedup_bloom_paragraph_scrub — all four r01+r02 twice-green and
-    # unchanged since their rows (the displacement rule)
+    # dedup_bloom_paragraph_scrub; window_lag_deltas +
+    # window_running_avg for the microsecond-exact
+    # events_session_counts and regex-counted metrics_run_delta
+    # re-verifies — all six r01+r02 twice-green and unchanged since
+    # their rows (the displacement rule)
 )
 
 # Declared overflow (r03 mechanism): oracle-matched first-timers that

@@ -257,8 +257,9 @@ def text_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_session_counts", oracle="""
 WITH marked AS (
   SELECT user_id, ts,
-         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id)) > 1800 OR LAG(ts) OVER (
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000 OR LAG(ts) OVER (
               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events)
@@ -271,13 +272,20 @@ def events_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via gaps-and-islands (lag + flag-sum) — the
     oracle-checkable twin of the streaming session_window operator
     (streaming.session_event_counts). One shuffle on user_id; the sort
-    within each partition feeds both the lag and the count."""
+    within each partition feeds both the lag and the count.
+
+    The gap compares EXACT epoch MICROSECONDS on both engines (review
+    r05, same class as window_range_time_sum): Spark unix_timestamp
+    TRUNCATES sub-second fractions while DuckDB EPOCH keeps them, so a
+    true gap of 1800.x s straddling the threshold could sessionize
+    differently per engine — previous green runs were fractional-
+    alignment luck."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"),
                                               F.asc("event_id"))
-    gap = (F.unix_timestamp("ts")
-           - F.unix_timestamp(F.lag("ts").over(w)))
-    new_session = (gap.isNull() | (gap > 1800)).cast("long")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+    new_session = (gap.isNull() | (gap > 1_800_000_000)).cast("long")
     return (e.withColumn("ns", new_session)
             .groupBy("user_id")
             .agg(F.sum("ns").cast("long").alias("n_sessions"),
@@ -538,15 +546,21 @@ def metrics_run_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit before rounding."""
     from luzzu_spark.rules import spec as _s
     from luzzu_spark.rules.stopwords import STOPWORDS as _SW
+    # both counts in ONE codegen'd regex pass each (CLAUDE.md rule 1 —
+    # review r05: the previous filter(toks, t -> array_contains(SW, t))
+    # was an interpreted O(tokens × |SW|) scan per row). Space-only
+    # delimiters keep the counts EXACTLY equal to the oracle's
+    # single-space split + list_contains semantics: a stopword glued to
+    # a newline/tab is one non-space token on both sides.
+    stop_re = r"(?:^| )(?:" + "|".join(sorted(_SW)) + r")(?= |$)"
     d = _docs(spark, sf_dir).select(
         "doc_id", "n_chars",
-        F.filter(F.split(F.trim(F.col("text")), " "),
-                 lambda x: x != "").alias("toks"))
-    sw = F.array(*[F.lit(w) for w in _SW])
-    n_toks = F.size("toks")
-    stop_frac = F.try_divide(
-        F.size(F.filter("toks", lambda t: F.array_contains(sw, t)))
-        .cast("double"), n_toks)
+        F.regexp_count(F.trim(F.coalesce("text", F.lit(""))),
+                       F.lit("[^ ]+")).alias("n_toks"),
+        F.regexp_count(F.trim(F.coalesce("text", F.lit(""))),
+                       F.lit(stop_re)).alias("stop_hits"))
+    n_toks = F.col("n_toks")
+    stop_frac = F.try_divide(F.col("stop_hits").cast("double"), n_toks)
     flags = d.select(
         (F.col("doc_id") % 2).alias("run_id"),
         (F.col("n_chars") < _s.MIN_DOC_CHARS).cast("int").alias("f_short"),

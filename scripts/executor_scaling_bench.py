@@ -53,16 +53,44 @@ def submit(cores: str, n_threads: int, zip_path: str, input_dir: str,
         "--bench", "--repeat", str(repeat), "--json",
     ]
     env = dict(os.environ, PYTHONPATH=REPO)
+    # keep stderr: a failed run must say WHY (review r05 — DEVNULL
+    # left RuntimeError('no JSON') with zero diagnostics)
     return subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.DEVNULL, text=True, env=env)
+                            stderr=subprocess.PIPE, text=True, env=env)
 
 
 def result_of(proc: subprocess.Popen) -> dict:
-    out, _ = proc.communicate(timeout=1800)
+    try:
+        out, err = proc.communicate(timeout=1800)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
     lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
     if not lines:
-        raise RuntimeError("no JSON from executor run")
+        tail = "\n".join((err or "").strip().splitlines()[-8:])
+        raise RuntimeError(f"no JSON from executor run; stderr tail:\n"
+                           f"{tail}")
     return json.loads(lines[-1])
+
+
+def _drain(procs: list[subprocess.Popen]) -> list[dict]:
+    """Collect all concurrent executor results; on the FIRST failure
+    kill every still-running sibling before raising — orphaned
+    spark-submit trees would keep burning the 'otherwise-idle box'
+    while the shared work dir is deleted out from under them
+    (review r05)."""
+    results = []
+    for p in procs:
+        try:
+            results.append(result_of(p))
+        except Exception:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+                    q.communicate()
+            raise
+    return results
 
 
 def main() -> None:
@@ -73,6 +101,13 @@ def main() -> None:
     ap.add_argument("--n-files", type=int, default=64)
     ap.add_argument("--executor-cores", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=4)
+    ap.add_argument("--alternate", type=int, default=2,
+                    help="interleaved solo/quad leg PAIRS (CLAUDE.md "
+                         "perf rule 5: the host is noisy, so pair and "
+                         "alternate levels; best-per-level is taken "
+                         "across rounds — review r05: a single solo "
+                         "leg put all host drift into the efficiency "
+                         "denominator, ±30%% on an idle box)")
     args = ap.parse_args()
     ec = args.executor_cores
 
@@ -83,36 +118,58 @@ def main() -> None:
         n_docs = write_input(args.sf_dir, args.replicate, input_dir,
                              args.n_files)
 
-        # N = 1 executor
-        p = submit(f"0-{ec - 1}", ec, zip_path, input_dir,
-                   os.path.join(work, "single"), args.repeat)
-        single = result_of(p)
-        tp1 = single["docs_per_sec"]
-        print(f"# 1 executor ({ec} cores): {tp1} docs/sec "
-              f"(trials {single['trials']})", file=sys.stderr)
+        solo_tps: list[float] = []
+        quad_aggs: list[float] = []
+        quad_each: list[list[float]] = []
+        for rnd in range(max(1, args.alternate)):
+            # N = 1 executor
+            p = submit(f"0-{ec - 1}", ec, zip_path, input_dir,
+                       os.path.join(work, f"single{rnd}"), args.repeat)
+            single = _drain([p])[0]
+            solo_tps.append(single["docs_per_sec"])
+            print(f"# round {rnd} 1 executor ({ec} cores): "
+                  f"{single['docs_per_sec']} docs/sec "
+                  f"(trials {single['trials']})", file=sys.stderr)
 
-        # 4N = 4 concurrent executors on disjoint CPU ranges
-        procs = []
-        for i in range(4):
-            cores = f"{i * ec}-{(i + 1) * ec - 1}"
-            procs.append(submit(cores, ec, zip_path, input_dir,
-                                os.path.join(work, f"quad{i}"),
-                                args.repeat))
-        quad = [result_of(p) for p in procs]
-        tps = [r["docs_per_sec"] for r in quad]
-        agg = sum(tps)
-        for i, r in enumerate(quad):
-            print(f"# executor {i}: {r['docs_per_sec']} docs/sec "
-                  f"(trials {r['trials']})", file=sys.stderr)
+            # 4N = 4 concurrent executors on disjoint CPU ranges
+            procs = []
+            for i in range(4):
+                cores = f"{i * ec}-{(i + 1) * ec - 1}"
+                procs.append(submit(cores, ec, zip_path, input_dir,
+                                    os.path.join(work,
+                                                 f"quad{rnd}_{i}"),
+                                    args.repeat))
+            quad = _drain(procs)
+            tps = [r["docs_per_sec"] for r in quad]
+            quad_each.append(tps)
+            quad_aggs.append(sum(tps))
+            for i, r in enumerate(quad):
+                print(f"# round {rnd} executor {i}: "
+                      f"{r['docs_per_sec']} docs/sec "
+                      f"(trials {r['trials']})", file=sys.stderr)
 
+        # best-per-level across interleaved rounds (the min-wall-time
+        # discipline): host drift must hit both levels, not just the
+        # solo denominator
+        tp1 = max(solo_tps)
+        best = max(range(len(quad_aggs)), key=lambda i: quad_aggs[i])
+        agg = quad_aggs[best]
         eff = agg / (4 * tp1)
         print(json.dumps({
             "n_docs": n_docs,
             "executor_cores": ec,
+            "alternate_rounds": max(1, args.alternate),
             "throughput_1_executor": tp1,
-            "throughput_4_executors_each": tps,
+            "throughput_1_executor_rounds": solo_tps,
+            "throughput_4_executors_each": quad_each[best],
             "throughput_4_executors_aggregate": round(agg, 1),
+            "throughput_4_executors_rounds":
+                [round(a, 1) for a in quad_aggs],
+            # history-schema keys (SCALING.json / bench.py consumers)
+            # ALONGSIDE the verbose names, so a verbatim append works
+            "speedup": round(agg / tp1, 3),
             "speedup_n_to_4n": round(agg / tp1, 3),
+            "efficiency": round(eff, 3),
             "scaling_efficiency": round(eff, 3),
             "target": 0.8,
             "pass": eff >= 0.8,
